@@ -1,0 +1,8 @@
+from tdgp.ops.bias_act import bias_act, activation_funcs
+from tdgp.ops.upfirdn2d import (
+    setup_filter, upfirdn2d, filter2d, upsample2d, downsample2d,
+)
+from tdgp.ops.conv2d_resample import conv2d_resample
+from tdgp.ops.grid_sample import grid_sample_2d, grid_sample_nhwc
+from tdgp.ops.modulated_conv2d import modulated_conv2d
+from tdgp.ops.filtered_lrelu import filtered_lrelu

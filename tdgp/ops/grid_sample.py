@@ -1,0 +1,69 @@
+"""Bilinear grid sampling, NHWC, differentiable to any order.
+
+Counterpart of torch F.grid_sample (used for tri-plane feature lookup, ref
+src/training/tri_plane_renderer.py:584 with align_corners=True, and patch
+extraction, ref src/training/training_utils.py:22-31) plus the reference's
+dedicated second-order CUDA kernels (src/torch_utils/ops/grid_sample.cu):
+in JAX, grad-of-grad falls out of autodiff so no special kernel pair is
+needed. A fused Pallas version for the tri-plane hot path lives in
+tdgp.ops.pallas.
+
+Coordinate convention matches torch: coords[..., 0] = x indexes width,
+coords[..., 1] = y indexes height, both in [-1, 1].
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def grid_sample_2d(x: jnp.ndarray, coords: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:
+    """Sample feature maps at continuous 2D locations (padding_mode='zeros').
+
+    x:      [N, H, W, C]  feature maps
+    coords: [N, P, 2]     (x, y) in [-1, 1]
+    returns [N, P, C]
+    """
+    N, H, W, C = x.shape
+    compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    gx = _unnormalize(coords[..., 0].astype(compute_dtype), W, align_corners)  # [N, P]
+    gy = _unnormalize(coords[..., 1].astype(compute_dtype), H, align_corners)  # [N, P]
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    tx = gx - x0
+    ty = gy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xi_c = jnp.clip(xi, 0, W - 1)
+        yi_c = jnp.clip(yi, 0, H - 1)
+        flat = x.reshape(N, H * W, C)
+        idx = yi_c * W + xi_c  # [N, P]
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)  # [N, P, C]
+        return vals * valid[..., None].astype(x.dtype)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+
+    tx = tx[..., None].astype(compute_dtype)
+    ty = ty[..., None].astype(compute_dtype)
+    out = (v00 * (1 - tx) * (1 - ty) + v01 * tx * (1 - ty)
+           + v10 * (1 - tx) * ty + v11 * tx * ty)
+    return out.astype(x.dtype)
+
+
+def grid_sample_nhwc(x: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:
+    """torch-like interface with a [N, Ho, Wo, 2] grid; returns [N, Ho, Wo, C]."""
+    N, Ho, Wo, _ = grid.shape
+    out = grid_sample_2d(x, grid.reshape(N, Ho * Wo, 2), align_corners=align_corners)
+    return out.reshape(N, Ho, Wo, x.shape[-1])

@@ -1,0 +1,16 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+This mirrors how multi-chip sharding is validated without TPU hardware
+(SURVEY.md §4: test pyramid item (d)). The axon TPU plugin registers itself
+at interpreter startup and overrides JAX_PLATFORMS, so we force the platform
+back to CPU via jax.config *after* import (backends initialize lazily).
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
