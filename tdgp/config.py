@@ -1,0 +1,391 @@
+"""Typed, frozen configuration tree.
+
+Mirrors the reference's hydra config groups (ref configs/**: camera/base.yaml,
+model/3dgp.yaml, model/base.yaml, training/base.yaml, dataset/base.yaml) as
+frozen dataclasses. Frozen means hashable, which lets configs ride along as
+static attributes of flax modules and as jit closure constants.
+
+Defaults reproduce the 3DGP ImageNet-256 configuration. The layered-YAML
+loader with resolver support lives in tdgp.infra.experiment; this module is
+the schema.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+def asdict(cfg) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+def replace(cfg, **kwargs):
+    return dataclasses.replace(cfg, **kwargs)
+
+
+# --------------------------------------------------------------- camera
+
+@dataclass(frozen=True)
+class Dist:
+    """Scalar sampling distribution (ref configs/camera/base.yaml)."""
+    dist: str = 'uniform'
+    mean: float = 0.0
+    std: float = 0.0
+    min: float = 0.0
+    max: float = 0.0
+
+
+@dataclass(frozen=True)
+class AnglesDist:
+    dist: str = 'uniform'
+    yaw: Dist = Dist()
+    pitch: Dist = Dist()
+
+
+@dataclass(frozen=True)
+class OriginCfg:
+    radius: Dist = Dist(dist='normal', mean=1.0, std=0.0)
+    angles: AnglesDist = AnglesDist(
+        dist='uniform',
+        yaw=Dist(dist='uniform', min=-1.57, max=1.57),
+        pitch=Dist(dist='uniform', min=0.785398163, max=2.35619449),
+    )
+
+
+@dataclass(frozen=True)
+class LookAtCfg:
+    radius: Dist = Dist(dist='uniform', min=0.0, max=0.2)
+    angles: AnglesDist = AnglesDist(
+        dist='spherical_uniform',
+        yaw=Dist(dist='spherical_uniform', min=-3.14159265, max=3.14159265),
+        pitch=Dist(dist='spherical_uniform', min=0.0, max=3.14159265),
+    )
+
+
+@dataclass(frozen=True)
+class RayCfg:
+    start: float = 0.75
+    end: float = 1.25
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """ref configs/camera/base.yaml + camera/uniform.yaml."""
+    ray: RayCfg = RayCfg()
+    fov: Dist = Dist(dist='uniform', min=10.0, max=45.0)
+    origin: OriginCfg = OriginCfg()
+    look_at: LookAtCfg = LookAtCfg()
+    cube_scale: float = 0.5
+    validate_viewing_frustum: bool = False
+
+
+# --------------------------------------------------------------- generator
+
+@dataclass(frozen=True)
+class TriPlaneMLPCfg:
+    n_layers: int = 2
+    hid_dim: int = 64
+
+
+@dataclass(frozen=True)
+class TriPlaneCfg:
+    res: int = 512
+    feat_dim: int = 32
+    mlp: TriPlaneMLPCfg = TriPlaneMLPCfg()
+
+
+@dataclass(frozen=True)
+class DepthAdaptorCfg:
+    """ref configs/model/3dgp.yaml:40-50."""
+    enabled: bool = True
+    kernel_size: int = 5
+    hid_dim: int = 64
+    num_hid_layers: int = 3
+    out_strategy: str = 'random'  # 'last' | 'mean' | 'random'
+    selection_start_p: float = 0.1
+    anneal_kimg: int = 10000
+    near_plane_offset_max_fraction: float = 0.25
+    near_plane_offset_bias: float = -3.0
+
+
+@dataclass(frozen=True)
+class AdjustCfg:
+    angles: bool = True
+    radius: bool = False
+    fov: bool = True
+    look_at: bool = True
+
+
+@dataclass(frozen=True)
+class EMDCfg:
+    enabled: bool = True
+    anneal_kimg: int = 10000
+    num_samples: int = 64
+    origin: float = 2.0
+    radius: float = 0.0
+    fov: float = 0.0001
+    look_at: float = 0.0001
+
+
+@dataclass(frozen=True)
+class LipschitzCfg:
+    enabled: bool = False
+    angles: float = 0.0
+    radius: float = 0.0
+    fov: float = 0.0
+    look_at: float = 0.0
+
+
+@dataclass(frozen=True)
+class CameraAdaptorCfg:
+    """ref configs/model/3dgp.yaml:52-76."""
+    enabled: bool = True
+    residual: bool = False
+    lr_multiplier: float = 0.1
+    z_dim: int = 512
+    c_dim: int = 0
+    hid_dim: int = 256
+    embed_dim: int = 16
+    adjust: AdjustCfg = AdjustCfg()
+    emd: EMDCfg = EMDCfg()
+    lipschitz_weights: LipschitzCfg = LipschitzCfg()
+    force_mean_weight: float = 10.0
+
+
+@dataclass(frozen=True)
+class PatchCfg:
+    """ref configs/training/base.yaml:33-44 + patch_beta.yaml."""
+    enabled: bool = True
+    patch_params_cond: bool = True
+    distribution: str = 'beta'  # 'uniform' | 'discrete_uniform' | 'beta'
+    resolution: int = 64
+    min_scale_trg: float = 0.25   # patch_res / dataset_res
+    max_scale: float = 1.0
+    anneal_kimg: int = 10000
+    alpha: float = 1.0
+    beta_val_start: float = 0.001
+    beta_val_end: float = 0.8
+    mbstd_group_size: int = 4
+    discrete_support: Tuple[float, ...] = ()
+
+
+@dataclass(frozen=True)
+class GeneratorConfig:
+    """ref configs/model/base.yaml 'generator' + model/3dgp.yaml overrides."""
+    z_dim: int = 512
+    w_dim: int = 512
+    c_dim: int = 0
+    map_depth: int = 2
+    cbase: int = 32768
+    cmax: int = 512
+    fmaps: float = 1.0
+    img_resolution: int = 256
+    img_channels: int = 3
+    num_fp16_res: int = 4
+    fp32_only: bool = True          # 3dgp.yaml: generator runs fp32
+    architecture: str = 'skip'
+    use_noise: bool = True
+    num_ray_steps: int = 32
+    max_batch_res: int = 128
+    ray_marcher_type: str = 'classical'
+    clamp_mode: str = 'softplus'
+    density_bias: float = 0.0
+    use_full_box: bool = False
+    use_inf_depth: bool = True
+    has_view_cond: bool = False
+    nerf_noise_std_init: float = 1.0
+    nerf_noise_kimg_growth: int = 5000
+    camera_cond: bool = True        # 3D G conditions mapping on camera angles
+    camera_cond_raw: bool = True    # camera_raw_scalars=True (ref networks_epigraf.py:283)
+    camera_cond_drop_p: float = 0.0
+    camera_cond_spoof_p: float = 0.5
+    tri_plane: TriPlaneCfg = TriPlaneCfg()
+    depth_adaptor: DepthAdaptorCfg = DepthAdaptorCfg()
+    camera_adaptor: CameraAdaptorCfg = CameraAdaptorCfg()
+    camera: CameraConfig = CameraConfig()
+    patch: PatchCfg = PatchCfg()
+    white_back: bool = False
+    last_back: bool = False
+
+
+@dataclass(frozen=True)
+class DiscriminatorConfig:
+    """ref configs/model/base.yaml 'discriminator' + model/3dgp.yaml."""
+    c_dim: int = 0
+    cbase: int = 32768
+    cmax: int = 512
+    fmaps: float = 1.0
+    input_resolution: int = 64      # patch resolution when patch-wise
+    img_channels: int = 4           # RGB + depth
+    num_fp16_res: int = 4
+    fp32_only: bool = False
+    conv_clamp: float = 256.0
+    num_additional_start_blocks: int = 2  # log2(dataset_res / patch_res)
+    mbstd_group_size: int = 4
+    mbstd_num_channels: int = 1
+    logits_clamp_val: float = 1e7
+    camera_cond: bool = False
+    camera_cond_drop_p: float = 0.0
+    hyper_mod: bool = True
+    patch: PatchCfg = PatchCfg()
+    embedding_dim: int = 2048       # KD feature head (resnet50)
+    map_depth: int = 2
+
+
+# --------------------------------------------------------------- training
+
+@dataclass(frozen=True)
+class KDCfg:
+    weight: float = 1.0
+    anneal_kimg: int = 100000
+    loss_type: str = 'l2'  # 'l2' | 'kl'
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """ref configs/model/base.yaml 'loss_kwargs' + model/3dgp.yaml."""
+    adv_loss_type: str = 'non_saturating'  # | 'hinge'
+    r1_gamma: float = 0.05
+    r1_interval: int = 16
+    pl_weight: float = 0.0
+    pl_start_kimg: int = 0
+    pl_batch_shrink: int = 2
+    pl_decay: float = 0.01
+    blur_init_sigma: float = 10.0
+    blur_fade_kimg: int = 200
+    style_mixing_prob: float = 0.0
+    kd: KDCfg = KDCfg()
+
+
+@dataclass(frozen=True)
+class OptimCfg:
+    lr: float = 0.0025
+    beta1: float = 0.0
+    beta2: float = 0.99
+    eps: float = 1e-8
+    grad_clip: Optional[float] = None
+
+
+@dataclass(frozen=True)
+class AugmentCfg:
+    """ref configs/training/base.yaml 'augment'."""
+    mode: str = 'noaug'  # 'noaug' | 'ada' | 'fixed'
+    p: float = 0.2
+    target: float = 0.6
+    ada_interval: int = 4
+    ada_kimg: int = 500
+    xflip: float = 0.0
+    rotate90: float = 1.0
+    xint: float = 1.0
+    scale: float = 1.0
+    rotate: float = 1.0
+    aniso: float = 1.0
+    xfrac: float = 1.0
+    brightness: float = 1.0
+    contrast: float = 1.0
+    lumaflip: float = 1.0
+    hue: float = 1.0
+    saturation: float = 1.0
+
+
+@dataclass(frozen=True)
+class TrainingConfig:
+    """ref configs/training/base.yaml."""
+    batch_size: int = 64
+    batch_gpu: Optional[int] = None
+    test_batch_gpu: int = 4
+    use_depth: bool = True
+    blur_real_depth_sigma: float = 0.0
+    learn_camera_dist: bool = True
+    total_kimg: int = 25000
+    tick_kimg: int = 4
+    val_freq: int = 100
+    snap: int = 100
+    image_snap: int = 100
+    seed: int = 0
+    ema_kimg: float = 20.0          # batch_size * 0.3125
+    ema_rampup: Optional[float] = 0.05
+    ema_start_kimg: float = 0.0
+    metrics: Tuple[str, ...] = ('fid2k_full', 'nfs256')
+    resume: str = 'latest'
+    g_optim: OptimCfg = OptimCfg(lr=0.0025)
+    d_optim: OptimCfg = OptimCfg(lr=0.002)
+    augment: AugmentCfg = AugmentCfg()
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    """ref configs/dataset/base.yaml."""
+    path: str = ''
+    name: str = 'dataset'
+    resolution: int = 256
+    c_dim: int = 0
+    mirror: bool = True
+    white_back: bool = False
+    last_back: bool = False
+    use_embeddings: bool = True
+    embedder_name: str = 'resnet50'
+    embedding_dim: int = 2048
+    embeddings_path: str = ''
+    embeddings_desc_path: str = ''
+    max_size: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level experiment config (ref configs/config.yaml composition)."""
+    camera: CameraConfig = CameraConfig()
+    generator: GeneratorConfig = GeneratorConfig()
+    discriminator: DiscriminatorConfig = DiscriminatorConfig()
+    loss: LossConfig = LossConfig()
+    training: TrainingConfig = TrainingConfig()
+    dataset: DatasetConfig = DatasetConfig()
+    model_name: str = '3dgp'  # '3dgp' | 'epigraf' | 'stylegan2'
+    num_devices: int = 1
+    run_dir: str = 'experiments/run'
+
+
+def imagenet_config() -> Config:
+    """The headline ImageNet-256 config (README.md:55-57: cbase 65536, cmax 1024)."""
+    cam = CameraConfig()
+    gen = GeneratorConfig(cbase=65536, cmax=1024, c_dim=1000, camera=cam,
+                          camera_adaptor=CameraAdaptorCfg(c_dim=1000))
+    disc = DiscriminatorConfig(cbase=65536, cmax=1024, c_dim=1000)
+    return Config(camera=cam, generator=gen, discriminator=disc,
+                  dataset=DatasetConfig(c_dim=1000, resolution=256),
+                  loss=LossConfig(r1_gamma=0.05))
+
+
+def satellite_config(c_dim: int = 0, resolution: int = 256) -> Config:
+    """dogs/horses/elephants config: default cbase/cmax (README.md:61)."""
+    n_extra = max(0, (resolution // 64).bit_length() - 1)
+    gen = GeneratorConfig(c_dim=c_dim, img_resolution=resolution,
+                          camera_adaptor=CameraAdaptorCfg(c_dim=c_dim))
+    disc = DiscriminatorConfig(c_dim=c_dim, num_additional_start_blocks=n_extra)
+    return Config(generator=gen, discriminator=disc,
+                  dataset=DatasetConfig(c_dim=c_dim, resolution=resolution))
+
+
+def tiny_test_config() -> Config:
+    """A miniature config for unit tests / CI: everything shrunk."""
+    cam = CameraConfig()
+    tri = TriPlaneCfg(res=32, feat_dim=8, mlp=TriPlaneMLPCfg(n_layers=2, hid_dim=16))
+    patch = PatchCfg(resolution=16, min_scale_trg=0.25, mbstd_group_size=2)
+    gen = GeneratorConfig(
+        z_dim=32, w_dim=32, c_dim=4, cbase=1024, cmax=64, img_resolution=64,
+        num_ray_steps=4, tri_plane=tri, patch=patch, camera=cam,
+        depth_adaptor=DepthAdaptorCfg(hid_dim=8, num_hid_layers=2, kernel_size=3),
+        camera_adaptor=CameraAdaptorCfg(z_dim=32, c_dim=4, hid_dim=16, embed_dim=8),
+    )
+    disc = DiscriminatorConfig(
+        c_dim=4, cbase=1024, cmax=64, input_resolution=16, img_channels=4,
+        num_additional_start_blocks=2, mbstd_group_size=2, patch=patch,
+        embedding_dim=16)
+    return Config(
+        camera=cam, generator=gen, discriminator=disc,
+        loss=LossConfig(r1_gamma=0.1),
+        training=TrainingConfig(batch_size=4, ema_kimg=1.25,
+                                metrics=()),
+        dataset=DatasetConfig(resolution=64, c_dim=4, embedding_dim=16),
+    )

@@ -28,14 +28,15 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1,
     if not flip_weight and (w.shape[0] > 1 or w.shape[1] > 1):
         w = jnp.flip(w, axis=(0, 1))
     px0, px1, py0, py1 = _parse_padding(padding)
+    # No preferred_element_type: the TPU MXU accumulates bf16 convs in f32
+    # natively, and mixed-precision cotangents break conv VJPs in jax 0.9.
     return jax.lax.conv_general_dilated(
         x, w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=((py0, py1), (px0, px1)),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32 if x.dtype != jnp.float32 else None,
-    ).astype(x.dtype)
+    )
 
 
 def conv2d_resample(x: jnp.ndarray, w: jnp.ndarray, f: Optional[jnp.ndarray] = None,

@@ -108,7 +108,6 @@ def upfirdn2d(x: jnp.ndarray, f: Optional[jnp.ndarray], up: Union[int, Sequence[
         lhs_dilation=(upy, upx),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         feature_group_count=C,
-        preferred_element_type=x.dtype if x.dtype == jnp.float32 else jnp.float32,
     )
     return out.astype(x.dtype)
 

@@ -149,12 +149,17 @@ def _march(colors, densities, depths, opts: RenderOptions):
 
 def sample_stratified(key, batch: int, num_rays: int, num_steps: int,
                       ray_marcher_type: str = 'classical',
-                      ray_start: float = 0.0, ray_end: float = 1.0) -> jnp.ndarray:
+                      ray_start: float = 0.0, ray_end: float = 1.0,
+                      jitter: bool = True) -> jnp.ndarray:
     """Jittered uniform samples in s-space (ref tri_plane_renderer.py:208-235).
-    Returns [B, R, S]."""
+    Returns [B, R, S]. jitter=False gives deterministic mid-bin samples
+    (used at eval for reproducible inference)."""
     base = jnp.linspace(ray_start, ray_end, num_steps)
     base = jnp.broadcast_to(base, (batch, num_rays, num_steps))
-    noise = jax.random.uniform(key, (batch, num_rays, num_steps))
+    if jitter:
+        noise = jax.random.uniform(key, (batch, num_rays, num_steps))
+    else:
+        noise = jnp.full((batch, num_rays, num_steps), 0.5)
     if ray_marcher_type == 'classical':
         mids = 0.5 * (base[..., 1:] + base[..., :-1])
         upper = jnp.concatenate([mids, base[..., -1:]], axis=-1)
@@ -196,7 +201,7 @@ def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray, n_importance: int,
 
 
 def sample_importance(key, z_vals: jnp.ndarray, weights: jnp.ndarray, n_importance: int,
-                      ray_marcher_type: str = 'classical') -> jnp.ndarray:
+                      ray_marcher_type: str = 'classical', det: bool = False) -> jnp.ndarray:
     """ref tri_plane_renderer.py:237-255. z_vals [B,R,S]; weights [B,R,Sw]."""
     batch, num_rays, s = z_vals.shape
     z = z_vals.reshape(batch * num_rays, s)
@@ -212,7 +217,7 @@ def sample_importance(key, z_vals: jnp.ndarray, weights: jnp.ndarray, n_importan
         w = w + 1e-5
 
     z_mid = 0.5 * (z[:, :-1] + z[:, 1:])  # [N, S-1]
-    samples = sample_pdf(key, z_mid, w[:, 1:-1], n_importance)
+    samples = sample_pdf(key, z_mid, w[:, 1:-1], n_importance, det=det)
     samples = jax.lax.stop_gradient(samples)
     return samples.reshape(batch, num_rays, n_importance)
 
@@ -237,7 +242,8 @@ RunModelFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
 
 def importance_render(run_model: RunModelFn, ray_origins: jnp.ndarray,
                       ray_directions: jnp.ndarray, key, opts: RenderOptions,
-                      density_noise: jnp.ndarray | float = 0.0):
+                      density_noise: jnp.ndarray | float = 0.0,
+                      jitter: bool = True):
     """Coarse + importance two-pass rendering (ref tri_plane_renderer.py:126-170).
 
     run_model(coords [B, P, 3]) -> (rgb [B, P, C], sigma [B, P]).
@@ -263,14 +269,16 @@ def importance_render(run_model: RunModelFn, ray_origins: jnp.ndarray,
 
     # Coarse pass (in s-space [0, 1], ref :132-148).
     sdist_coarse = sample_stratified(k_strat, batch, num_rays, n_coarse,
-                                     ray_marcher_type=opts.ray_marcher_type)
+                                     ray_marcher_type=opts.ray_marcher_type,
+                                     jitter=jitter)
     tdist_coarse = s_to_t(sdist_coarse)
     colors_coarse, densities_coarse = eval_model(tdist_coarse, k_noise1)
 
     if opts.num_fine_steps > 0:
         _, _, weights, _ = _march(colors_coarse, densities_coarse, sdist_coarse, opts)
         sdist_fine = sample_importance(k_imp, sdist_coarse, weights, opts.num_fine_steps,
-                                       ray_marcher_type=opts.ray_marcher_type)
+                                       ray_marcher_type=opts.ray_marcher_type,
+                                       det=not jitter)
         tdist_fine = s_to_t(sdist_fine)
         colors_fine, densities_fine = eval_model(tdist_fine, k_noise2)
 

@@ -1,0 +1,187 @@
+"""Model-level tests: shapes, init sanity, EMA buffers, grads (SURVEY.md §4 item (c))."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tdgp.config import tiny_test_config
+from tdgp.models import (Generator, Discriminator, MappingNetwork, StyleGAN2Generator,
+                         CameraAdaptor, DepthAdaptor)
+from tdgp.models.stylegan2 import sg2_num_ws
+from tdgp.rendering import sample_camera_params
+from tdgp.training.patch import sample_patch_params, extract_patches
+from tdgp.config import asdict
+
+CFG = tiny_test_config()
+KEY = jax.random.PRNGKey(0)
+
+
+def init_rngs():
+    return {'params': jax.random.PRNGKey(1), 'noise': jax.random.PRNGKey(2),
+            'render': jax.random.PRNGKey(3), 'depth': jax.random.PRNGKey(4),
+            'dropout': jax.random.PRNGKey(5)}
+
+
+def make_inputs(n=4):
+    gc = CFG.generator
+    z = jax.random.normal(KEY, (n, gc.z_dim))
+    c = jax.nn.one_hot(jnp.arange(n) % gc.c_dim, gc.c_dim)
+    cam = sample_camera_params(KEY, asdict(CFG.camera), n)
+    return z, c, cam
+
+
+def test_num_ws_matches_reference_formula():
+    # 512-res tri-plane decoder: blocks at 4..512 -> 1 + 2*7 convs + 1 torgb = 16
+    assert sg2_num_ws(0, 512) == 16
+    assert sg2_num_ws(0, 32) == 1 + 2 * 3 + 1
+
+
+def test_generator_forward_shapes():
+    n = 4
+    z, c, cam = make_inputs(n)
+    g = Generator(CFG.generator)
+    variables = g.init(init_rngs(), z, c, cam, camera_angles_cond=cam.angles,
+                       train=True, concat_depth=True, return_depth=True)
+    out = g.apply(variables, z, c, cam, camera_angles_cond=cam.angles,
+                  train=True, concat_depth=True, return_depth=True,
+                  rngs=init_rngs(), mutable=['ema'])[0]
+    patch_res = CFG.generator.patch.resolution
+    assert out.img.shape == (n, patch_res, patch_res, 4)  # rgb + adapted depth
+    assert out.depth.shape == (n, patch_res, patch_res, 1)
+    assert np.all(np.isfinite(np.asarray(out.img)))
+
+
+def test_generator_eval_full_resolution():
+    n = 2
+    z, c, cam = make_inputs(n)
+    g = Generator(CFG.generator)
+    variables = g.init(init_rngs(), z, c, cam, camera_angles_cond=cam.angles, train=True)
+    img = g.apply(variables, z, c, cam, camera_angles_cond=cam.angles,
+                  train=False, noise_mode='const')
+    res = CFG.generator.img_resolution
+    assert img.shape == (n, res, res, 3)
+
+
+def test_generator_ray_chunk_matches_unchunked():
+    n = 1
+    z, c, cam = make_inputs(n)
+    g = Generator(CFG.generator)
+    variables = g.init(init_rngs(), z, c, cam, camera_angles_cond=cam.angles, train=True)
+    img_full = g.apply(variables, z, c, cam, camera_angles_cond=cam.angles,
+                       train=False, noise_mode='const')
+    img_chunk = g.apply(variables, z, c, cam, camera_angles_cond=cam.angles,
+                        train=False, noise_mode='const', ray_chunk=1024)
+    np.testing.assert_allclose(np.asarray(img_full), np.asarray(img_chunk),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mapping_ema_updates():
+    m = MappingNetwork(z_dim=16, c_dim=0, w_dim=16, num_ws=4, num_layers=2)
+    z = jax.random.normal(KEY, (8, 16))
+    variables = m.init({'params': KEY}, z, None)
+    assert float(jnp.sum(jnp.abs(variables['ema']['w_avg']))) == 0.0
+    _, updated = m.apply(variables, z, None, update_emas=True, mutable=['ema'])
+    assert float(jnp.sum(jnp.abs(updated['ema']['w_avg']))) > 0.0
+
+
+def test_discriminator_forward():
+    n = 4
+    d = Discriminator(CFG.discriminator)
+    res = CFG.discriminator.input_resolution
+    img = jax.random.normal(KEY, (n, res, res, 4))
+    c = jax.nn.one_hot(jnp.arange(n) % 4, 4)
+    patch_params = sample_patch_params(KEY, n, CFG.generator.patch, min_scale=0.25)
+    cam_angles = jnp.zeros((n, 3))
+    variables = d.init({'params': KEY}, img, c, patch_params=patch_params,
+                       camera_angles=cam_angles, predict_feat=True)
+    logits, feats = d.apply(variables, img, c, patch_params=patch_params,
+                            camera_angles=cam_angles, predict_feat=True)
+    assert logits.shape == (n,)
+    assert feats.shape == (n, CFG.discriminator.embedding_dim)
+    logits2, feats2 = d.apply(variables, img, c, patch_params=patch_params,
+                              camera_angles=cam_angles, predict_feat=False)
+    assert feats2 is None
+
+
+def test_discriminator_grad_wrt_input_finite():
+    n = 2
+    cfg = CFG.discriminator
+    d = Discriminator(cfg)
+    res = cfg.input_resolution
+    img = jax.random.normal(KEY, (n, res, res, 4))
+    c = jax.nn.one_hot(jnp.arange(n) % 4, 4)
+    pp = sample_patch_params(KEY, n, CFG.generator.patch, min_scale=0.25)
+    variables = d.init({'params': KEY}, img, c, patch_params=pp,
+                       camera_angles=jnp.zeros((n, 3)))
+
+    def f(im):
+        logits, _ = d.apply(variables, im, c, patch_params=pp,
+                            camera_angles=jnp.zeros((n, 3)))
+        return jnp.sum(logits)
+
+    g = jax.grad(f)(img)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # r1-style double grad
+    r1 = jax.grad(lambda im: jnp.sum(jax.grad(f)(im) ** 2))(img)
+    assert np.all(np.isfinite(np.asarray(r1)))
+
+
+def test_camera_adaptor_respects_bounds_and_adjust_flags():
+    n = 16
+    cfg = CFG.generator.camera_adaptor
+    ca = CameraAdaptor(cfg, CFG.camera)
+    cam = sample_camera_params(KEY, asdict(CFG.camera), n)
+    z = jax.random.normal(KEY, (n, cfg.z_dim))
+    c = jax.nn.one_hot(jnp.arange(n) % cfg.c_dim, cfg.c_dim)
+    variables = ca.init({'params': KEY}, cam, z, c)
+    out = ca.apply(variables, cam, z, c)
+    a = np.asarray(out.angles)
+    assert a[:, 0].min() >= CFG.camera.origin.angles.yaw.min - 1e-5
+    assert a[:, 0].max() <= CFG.camera.origin.angles.yaw.max + 1e-5
+    assert np.all(a[:, 2] == 0.0)  # roll forced to zero
+    f = np.asarray(out.fov)
+    assert f.min() >= CFG.camera.fov.min and f.max() <= CFG.camera.fov.max
+    # adjust.radius=False -> radius must equal the prior
+    np.testing.assert_allclose(np.asarray(out.radius), np.asarray(cam.radius), atol=1e-6)
+
+
+def test_depth_adaptor_shapes_and_strategies():
+    n, res = 4, 16
+    cfg = CFG.generator.depth_adaptor
+    depth = jax.random.uniform(KEY, (n, res, res, 1), minval=0.75, maxval=1.25)
+    w = jax.random.normal(KEY, (n, 8))
+    da = DepthAdaptor(cfg, min_depth=0.75, max_depth=1.25)
+    variables = da.init({'params': KEY, 'depth': KEY}, depth, w, train=True)
+    out_train = da.apply(variables, depth, w, progress=0.5, train=True,
+                         rngs={'depth': KEY})
+    out_eval = da.apply(variables, depth, w, train=False)
+    assert out_train.shape == (n, res, res, 1)
+    assert out_eval.shape == (n, res, res, 1)
+
+
+def test_stylegan2_baseline_generator():
+    g = StyleGAN2Generator(z_dim=32, c_dim=0, w_dim=32, img_resolution=32,
+                           cbase=1024, cmax=64, fp32_only=True)
+    z = jax.random.normal(KEY, (2, 32))
+    variables = g.init(init_rngs(), z, None)
+    img = g.apply(variables, z, None, rngs={'noise': KEY}, mutable=['ema'])[0]
+    assert img.shape == (2, 32, 32, 3)
+
+
+def test_extract_patches_identity_when_full_scale():
+    x = jax.random.normal(KEY, (2, 16, 16, 3))
+    pp = {'scales': jnp.ones((2, 2)), 'offsets': jnp.zeros((2, 2))}
+    out = extract_patches(x, pp, resolution=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_patch_params_group_replication():
+    pp = sample_patch_params(KEY, 8, CFG.generator.patch, min_scale=0.25, beta=0.5)
+    s = np.asarray(pp['scales'])
+    assert s.shape == (8, 2)
+    # mbstd_group_size=2 -> pairs share scales
+    np.testing.assert_allclose(s[0::2], s[1::2])
+    assert s.min() >= 0.25 - 1e-6 and s.max() <= 1.0 + 1e-6
+    o = np.asarray(pp['offsets'])
+    assert np.all(o >= 0) and np.all(o <= 1 - s + 1e-6)
