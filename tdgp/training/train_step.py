@@ -1,0 +1,323 @@
+"""The jitted G/D train step, data-parallel over a device mesh.
+
+Counterpart of ref src/training/training_loop.py:187-366 + loss.py
+accumulate_gradients, redesigned for XLA:
+
+  - ONE compiled function executes Gmain + Dmain (+ R1 every
+    `r1_interval` steps, as a second compiled variant) — no per-phase python
+    dispatch, no flat-tensor all_reduce dance (ref training_loop.py:335-344):
+    gradients are `lax.pmean`ed inside shard_map over the 'data' mesh axis
+  - gen-side randomness (z, cameras, patches, GPC spoofing) is sampled
+    on-device from a per-shard PRNG (reference sampled on host numpy)
+  - lazy regularization keeps the reference's exact optimizer semantics:
+    D's Adam hyperparams are scaled by mb_ratio = r1_interval/(r1_interval+1)
+    (ref training_loop.py:196-199), R1 runs as its own optimizer step with
+    gain = r1_interval
+  - G EMA is a tree-lerp with the rampup-corrected beta (ref :356-366)
+  - grads are NaN/Inf-scrubbed exactly like the reference's
+    misc.nan_to_num(flat) stability hack (ref :341).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from tdgp.config import Config, asdict
+from tdgp.models.discriminator import Discriminator
+from tdgp.models.epigraf import Generator
+from tdgp.rendering.camera import sample_camera_params
+from tdgp.training import losses
+from tdgp.training.patch import extract_patches, sample_patch_params, sample_random_c
+from tdgp.training.schedules import Schedules
+from tdgp.utils.misc import nan_to_num
+from tdgp.utils.tensor_group import TensorGroup
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    g_params: Any
+    g_consts: Any
+    g_ema_coll: Any      # mapping w_avg etc. ('ema' collection)
+    d_params: Any
+    ema_params: Any      # EMA copy of g_params
+    ema_ema_coll: Any
+    g_opt: Any
+    d_opt: Any
+    pl_mean: jnp.ndarray
+
+
+def g_variables(state: TrainState) -> Dict[str, Any]:
+    return {'params': state.g_params, 'consts': state.g_consts, 'ema': state.g_ema_coll}
+
+
+def ema_variables(state: TrainState) -> Dict[str, Any]:
+    return {'params': state.ema_params, 'consts': state.g_consts, 'ema': state.ema_ema_coll}
+
+
+def build_models(cfg: Config) -> Tuple[Generator, Discriminator]:
+    return Generator(cfg.generator), Discriminator(cfg.discriminator)
+
+
+def make_optimizers(cfg: Config):
+    """G: plain Adam. D: lazy-reg-adjusted Adam (ref training_loop.py:190-205)."""
+    g = cfg.training.g_optim
+    tx = optax.adam(g.lr, b1=g.beta1, b2=g.beta2, eps=g.eps)
+    if g.grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(g.grad_clip), tx)
+    d = cfg.training.d_optim
+    if cfg.loss.r1_gamma > 0:
+        mb = cfg.loss.r1_interval / (cfg.loss.r1_interval + 1)
+        d_tx = optax.adam(d.lr * mb, b1=d.beta1 ** mb, b2=d.beta2 ** mb, eps=d.eps)
+    else:
+        d_tx = optax.adam(d.lr, b1=d.beta1, b2=d.beta2, eps=d.eps)
+    return tx, d_tx
+
+
+def init_rngs(seed: int = 0) -> Dict[str, jax.Array]:
+    keys = jax.random.split(jax.random.PRNGKey(seed), 5)
+    return {'params': keys[0], 'noise': keys[1], 'render': keys[2],
+            'depth': keys[3], 'dropout': keys[4]}
+
+
+def create_train_state(cfg: Config, seed: int = 0,
+                       local_batch: Optional[int] = None) -> Tuple[TrainState, Generator, Discriminator]:
+    G, D = build_models(cfg)
+    n = local_batch or max(cfg.discriminator.mbstd_group_size, 2)
+    gc = cfg.generator
+    z = jnp.zeros((n, gc.z_dim))
+    c = jnp.zeros((n, gc.c_dim)) if gc.c_dim > 0 else None
+    cam = sample_camera_params(jax.random.PRNGKey(0), asdict(cfg.camera), n)
+
+    def init_fwd(g: Generator):
+        # exercise every submodule so all params materialize (flax setup is lazy)
+        ws = g.mapping(z, c, camera_angles=cam.angles, train=True)
+        cam_post = (g.synthesis.apply_camera_adaptor(cam, z, c)
+                    if gc.camera_adaptor.enabled else cam)
+        return g.synthesis(ws, cam_post, train=True,
+                           concat_depth=cfg.training.use_depth)
+
+    g_vars = G.init(init_rngs(seed), method=init_fwd)
+    d_res = cfg.discriminator.input_resolution
+    d_img = jnp.zeros((n, d_res, d_res, cfg.discriminator.img_channels))
+    pp = {'scales': jnp.ones((n, 2)), 'offsets': jnp.zeros((n, 2))}
+    d_vars = D.init({'params': jax.random.PRNGKey(seed + 1)}, d_img, c,
+                    patch_params=pp, camera_angles=cam.angles,
+                    predict_feat=cfg.loss.kd.weight > 0, train=True)
+    g_tx, d_tx = make_optimizers(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_vars['params'], g_consts=g_vars.get('consts', {}),
+        g_ema_coll=g_vars.get('ema', {}),
+        d_params=d_vars['params'],
+        # real copies — aliased buffers break donation (double-donate)
+        ema_params=jax.tree.map(jnp.copy, g_vars['params']),
+        ema_ema_coll=jax.tree.map(jnp.copy, g_vars.get('ema', {})),
+        g_opt=g_tx.init(g_vars['params']),
+        d_opt=d_tx.init(d_vars['params']),
+        pl_mean=jnp.zeros(()),
+    )
+    return state, G, D
+
+
+def _sample_gen_inputs(key, batch_size: int, cfg: Config, sched: Schedules,
+                       gen_c: Optional[jnp.ndarray] = None):
+    """z, labels, prior cameras, GPC-spoofed conditioning angles
+    (ref training_loop.py:301-316)."""
+    k_z, k_c, k_cam, k_spoof = jax.random.split(key, 4)
+    z = jax.random.normal(k_z, (batch_size, cfg.generator.z_dim))
+    c = gen_c if gen_c is not None else sample_random_c(k_c, batch_size, cfg.generator.c_dim)
+    cam = sample_camera_params(k_cam, asdict(cfg.camera), batch_size)
+    spoof = jax.random.uniform(k_spoof, (batch_size,)) < sched.gpc_spoof_p
+    cond_angles = jnp.where(spoof[:, None], jnp.roll(cam.angles, 1, axis=0), cam.angles)
+    return z, c, cam, cond_angles
+
+
+def make_train_step(cfg: Config, G: Generator, D: Discriminator,
+                    axis_name: Optional[str] = None):
+    """Returns step(state, batch, rng, sched, do_r1) -> (state, stats).
+
+    When axis_name is set, the function is meant to run inside
+    shard_map(..., axis_names={axis_name}): grads/stats are pmean'd.
+    """
+    g_tx, d_tx = make_optimizers(cfg)
+    do_kd = cfg.loss.kd.weight > 0
+    adv = cfg.loss.adv_loss_type
+    clamp = cfg.discriminator.logits_clamp_val
+
+    def pmean(x):
+        return jax.lax.pmean(x, axis_name) if axis_name else x
+
+    def scrub(grads):
+        return jax.tree.map(nan_to_num, grads)
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array,
+             sched: Schedules, do_r1: bool):
+        if axis_name:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        n = batch['img'].shape[0]
+        k_gen_g, k_gen_d, k_gfwd, k_dfwd, k_reg, k_patch_real = jax.random.split(rng, 6)
+        stats: Dict[str, jnp.ndarray] = {}
+
+        # ------------------------------------------------------ Gmain phase
+        zg, cg, camg, condg = _sample_gen_inputs(k_gen_g, n, cfg, sched,
+                                                 batch.get('gen_c_g'))
+
+        def g_loss_fn(g_params):
+            g_vars = {'params': g_params, 'consts': state.g_consts, 'ema': state.g_ema_coll}
+            out, patch_params, cam_post, _ = losses.g_forward(
+                G, g_vars, zg, cg, camg, condg, sched, k_gfwd, cfg)
+            logits, _ = losses.d_forward(
+                D, {'params': state.d_params}, out.img, cg, sched, cfg,
+                patch_params=patch_params, camera_angles=cam_post.angles)
+            loss_gmain = jnp.mean(losses.adv_loss_g(logits, adv))
+            aux = {'Loss/G/loss': loss_gmain,
+                   'Loss/scores/fake': jnp.mean(logits),
+                   'Loss/signs/fake': jnp.mean(jnp.sign(logits))}
+            total = loss_gmain
+            acfg = cfg.generator.camera_adaptor
+            if cfg.training.learn_camera_dist:
+                k_emd, k_fm, k_lip = jax.random.split(k_reg, 3)
+                if acfg.emd.enabled:
+                    emd, emd_stats = losses.camera_emd_reg(G, g_vars, sched, k_emd, cfg)
+                    total = total + emd
+                    aux.update(emd_stats)
+                if acfg.adjust.angles and acfg.force_mean_weight > 0:
+                    fm, fm_stats = losses.camera_force_mean_reg(G, g_vars, k_fm, cfg)
+                    total = total + fm
+                    aux.update(fm_stats)
+                if acfg.lipschitz_weights.enabled:
+                    lip, lip_stats = losses.camera_lipschitz_reg(G, g_vars, k_lip, cfg)
+                    total = total + lip
+                    aux.update(lip_stats)
+            return total, aux
+
+        (g_loss, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        g_grads = scrub(pmean(g_grads))
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+        stats.update(g_aux)
+
+        # ------------------------------------------------------ Dmain phase
+        zd, cd, camd, condd = _sample_gen_inputs(k_gen_d, n, cfg, sched,
+                                                 batch.get('gen_c_d'))
+        k_dg, k_dreal, k_r1 = jax.random.split(k_dfwd, 3)
+        # fake images with the UPDATED G (sequential phases, like the
+        # reference which steps G before D in its phase list); w_avg EMA
+        # updates here (ref loss.py:260 update_emas=True).
+        new_g_vars = {'params': g_params, 'consts': state.g_consts, 'ema': state.g_ema_coll}
+        fake_out, fake_patch_params, cam_post_d, new_ema_coll = losses.g_forward(
+            G, new_g_vars, zd, cd, camd, condd, sched, k_dg, cfg, update_emas=True)
+        fake_img = jax.lax.stop_gradient(fake_out.img)
+        fake_angles = jax.lax.stop_gradient(cam_post_d.angles)
+
+        real4 = losses.prepare_real_img(batch['img'], batch['depth'], sched, cfg)
+        if cfg.generator.patch.enabled:
+            real_pp = sample_patch_params(k_patch_real, n, cfg.generator.patch,
+                                          min_scale=sched.patch_min_scale,
+                                          beta=sched.patch_beta)
+            real_patches = extract_patches(real4, real_pp, cfg.generator.patch.resolution)
+        else:
+            real_pp, real_patches = None, real4
+
+        def d_loss_fn(d_params):
+            d_vars = {'params': d_params}
+            fake_logits, _ = losses.d_forward(
+                D, d_vars, fake_img, cd, sched, cfg,
+                patch_params=fake_patch_params, camera_angles=fake_angles)
+            real_logits, real_feats = losses.d_forward(
+                D, d_vars, real_patches, batch['c'], sched, cfg,
+                patch_params=real_pp, camera_angles=batch['camera_angles'],
+                predict_feat=do_kd)
+            loss_fake = jnp.mean(losses.adv_loss_d_fake(fake_logits, adv, clamp))
+            loss_real = jnp.mean(losses.adv_loss_d_real(real_logits, adv, clamp))
+            total = loss_fake + loss_real
+            aux = {'Loss/D/loss': loss_fake + loss_real,
+                   'Loss/scores/real': jnp.mean(real_logits),
+                   'Loss/signs/real': jnp.mean(jnp.sign(real_logits))}
+            if do_kd:
+                dist = losses.kd_loss(real_feats, batch['embs'], cfg.loss.kd.loss_type)
+                dist = dist * losses.compute_sample_weights(real_pp)
+                loss_kd = jnp.mean(dist) * sched.kd_weight
+                total = total + loss_kd
+                aux['Loss/kd/D_dist'] = jnp.mean(dist)
+                aux['Loss/kd/D_loss'] = loss_kd
+            return total, aux
+
+        (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
+        d_grads = scrub(pmean(d_grads))
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+        stats.update(d_aux)
+
+        # ------------------------------------------------------ Dreg (R1)
+        if do_r1 and cfg.loss.r1_gamma > 0:
+            gain = float(cfg.loss.r1_interval)
+
+            def r1_loss_fn(d_params):
+                d_vars = {'params': d_params}
+
+                def logits_of_img(img):
+                    logits, _ = losses.d_forward(
+                        D, d_vars, img, batch['c'], sched, cfg,
+                        patch_params=real_pp, camera_angles=batch['camera_angles'])
+                    return jnp.sum(logits)
+
+                r1_grads = jax.grad(logits_of_img)(real_patches)
+                penalty = jnp.sum(jnp.square(r1_grads), axis=(1, 2, 3))
+                loss = jnp.mean(penalty) * (cfg.loss.r1_gamma / 2) * gain
+                return loss, jnp.mean(penalty)
+
+            (r1_loss, r1_pen), r1_grads = jax.value_and_grad(
+                r1_loss_fn, has_aux=True)(d_params)
+            r1_grads = scrub(pmean(r1_grads))
+            r1_updates, d_opt = d_tx.update(r1_grads, d_opt, d_params)
+            d_params = optax.apply_updates(d_params, r1_updates)
+            stats['Loss/D/r1_penalty'] = r1_pen
+            stats['Loss/D/reg'] = r1_loss
+
+        # ------------------------------------------------------ G EMA
+        beta = sched.ema_beta
+        ema_params = jax.tree.map(lambda p, e: p + (e - p) * beta,
+                                  g_params, state.ema_params)
+
+        stats = {k: pmean(v) for k, v in stats.items()}
+        new_state = state.replace(
+            step=state.step + 1, g_params=g_params, g_ema_coll=new_ema_coll,
+            d_params=d_params, ema_params=ema_params,
+            ema_ema_coll=jax.tree.map(jnp.copy, new_ema_coll),
+            g_opt=g_opt, d_opt=d_opt)
+        return new_state, stats
+
+    return step
+
+
+def make_jitted_train_steps(cfg: Config, G: Generator, D: Discriminator,
+                            mesh: Optional[jax.sharding.Mesh] = None):
+    """Returns (step_no_r1, step_r1): jitted, optionally shard_map'ed over
+    mesh axis 'data'. Batch arrays are sharded along axis 0; state and
+    schedules are replicated."""
+    if mesh is None:
+        base = make_train_step(cfg, G, D, axis_name=None)
+        return (jax.jit(functools.partial(base, do_r1=False)),
+                jax.jit(functools.partial(base, do_r1=True)))
+
+    from jax.sharding import PartitionSpec as P
+    base = make_train_step(cfg, G, D, axis_name='data')
+
+    def wrap(do_r1):
+        def fn(state, batch, rng, sched):
+            return base(state, batch, rng, sched, do_r1=do_r1)
+        sharded = jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), P('data'), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False)
+        return jax.jit(sharded, donate_argnums=(0,))
+
+    return wrap(False), wrap(True)

@@ -1,0 +1,89 @@
+"""End-to-end train-step tests on the tiny config (SURVEY.md §4 items (c)+(d))."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tdgp.config import tiny_test_config
+from tdgp.training.schedules import compute_schedules
+from tdgp.training.train_step import (create_train_state, make_jitted_train_steps,
+                                      make_train_step)
+
+CFG = tiny_test_config()
+
+
+def make_batch(key, n):
+    res = CFG.dataset.resolution
+    ks = jax.random.split(key, 4)
+    return {
+        'img': jax.random.uniform(ks[0], (n, res, res, 3), minval=-1, maxval=1),
+        'depth': jax.random.uniform(ks[1], (n, res, res, 1), minval=-1, maxval=1),
+        'c': jax.nn.one_hot(jnp.arange(n) % CFG.dataset.c_dim, CFG.dataset.c_dim),
+        'camera_angles': jnp.concatenate([
+            jax.random.uniform(ks[2], (n, 2), minval=0.5, maxval=1.5),
+            jnp.zeros((n, 1))], axis=1),
+        'embs': jax.random.normal(ks[3], (n, CFG.dataset.embedding_dim)),
+    }
+
+
+@pytest.fixture(scope='module')
+def state_and_models():
+    return create_train_state(CFG, seed=0, local_batch=4)
+
+
+def test_single_device_steps(state_and_models):
+    state, G, D = state_and_models
+    step_plain, step_r1 = make_jitted_train_steps(CFG, G, D)
+    batch = make_batch(jax.random.PRNGKey(0), 4)
+    sched = compute_schedules(CFG, cur_nimg=0)
+
+    d_before = jax.tree.leaves(state.d_params)[0].copy()
+    g_before = jax.tree.leaves(state.g_params)[0].copy()
+
+    state1, stats1 = step_plain(state, batch, jax.random.PRNGKey(1), sched)
+    assert int(state1.step) == 1
+    for k, v in stats1.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert not np.allclose(jax.tree.leaves(state1.g_params)[0], g_before)
+    assert not np.allclose(jax.tree.leaves(state1.d_params)[0], d_before)
+
+    state2, stats2 = step_r1(state1, batch, jax.random.PRNGKey(2), sched)
+    assert 'Loss/D/r1_penalty' in stats2
+    assert np.isfinite(float(stats2['Loss/D/r1_penalty']))
+
+    # EMA moved toward params (beta < 1 at nimg=0 due to rampup -> beta=0 -> ema == params)
+    sched0 = compute_schedules(CFG, cur_nimg=0)
+    assert float(sched0.ema_beta) == 0.0
+    np.testing.assert_allclose(jax.tree.leaves(state1.ema_params)[0],
+                               jax.tree.leaves(state1.g_params)[0])
+    # w_avg EMA buffer updated
+    w_avg = state2.g_ema_coll['mapping']['w_avg']
+    assert float(jnp.sum(jnp.abs(w_avg))) > 0.0
+
+
+def test_multichip_mesh_step(state_and_models):
+    state, G, D = state_and_models
+    devices = jax.devices()
+    assert len(devices) == 8, "conftest must provide 8 virtual CPU devices"
+    mesh = jax.sharding.Mesh(np.asarray(devices), ('data',))
+    step_plain, _ = make_jitted_train_steps(CFG, G, D, mesh=mesh)
+    # global batch 16 -> 2 per device (mbstd_group_size=2)
+    batch = make_batch(jax.random.PRNGKey(0), 16)
+    sched = compute_schedules(CFG, cur_nimg=0)
+    state1, stats = step_plain(state, batch, jax.random.PRNGKey(1), sched)
+    for k, v in stats.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    # params stay replicated-consistent: fetch from two device shards
+    p = jax.tree.leaves(state1.g_params)[0]
+    assert np.all(np.isfinite(np.asarray(p)))
+
+
+def test_schedules_values():
+    s0 = compute_schedules(CFG, cur_nimg=0)
+    assert float(s0.blur_sigma) == CFG.loss.blur_init_sigma
+    assert float(s0.gpc_spoof_p) == 1.0
+    s_end = compute_schedules(CFG, cur_nimg=25_000_000)
+    assert float(s_end.blur_sigma) == 0.0
+    assert float(s_end.nerf_noise_std) == 0.0
+    assert abs(float(s_end.gpc_spoof_p) - CFG.generator.camera_cond_spoof_p) < 1e-6
