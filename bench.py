@@ -1,0 +1,97 @@
+"""Benchmark: full 3DGP G+D train-step throughput, imgs/sec/chip at 256².
+
+Measures the real training cadence — 15 plain steps + 1 R1 step per 16
+(lazy regularization, ref training/base.yaml r1 every 16) — on the
+satellite-dataset configuration (cbase 32768 / cmax 512, tri-plane
+512²x32x3, 64² patches, 32x2 ray steps; ref README.md:61, model/3dgp.yaml).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+vs_baseline: the reference repo publishes no throughput numbers
+(BASELINE.md). We pin an assumed A100 reference of 20 imgs/sec/GPU for this
+G+D step (StyleGAN2-scale G at 512² + 64²-patch two-pass NeRF + R1/16 —
+consistent with SG2 A100 tooling numbers); the driver target is >=4x that.
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+ASSUMED_A100_IMGS_PER_SEC = 20.0
+
+
+def make_batch(key, n, res, c_dim, emb_dim):
+    ks = jax.random.split(key, 4)
+    return {
+        'img': jax.random.uniform(ks[0], (n, res, res, 3), minval=-1, maxval=1),
+        'depth': jax.random.uniform(ks[1], (n, res, res, 1), minval=-1, maxval=1),
+        'c': jax.nn.one_hot(jnp.arange(n) % max(c_dim, 1), c_dim),
+        'camera_angles': jnp.concatenate([
+            jax.random.uniform(ks[2], (n, 2), minval=0.5, maxval=1.5),
+            jnp.zeros((n, 1))], axis=1),
+        'embs': jax.random.normal(ks[3], (n, emb_dim)),
+    }
+
+
+def run_bench(batch_size: int):
+    from tdgp.config import satellite_config, replace
+    from tdgp.training.schedules import compute_schedules
+    from tdgp.training.train_step import create_train_state, make_jitted_train_steps
+
+    cfg = satellite_config(c_dim=0, resolution=256)
+    state, G, D = create_train_state(cfg, seed=0, local_batch=batch_size)
+    step_plain, step_r1 = make_jitted_train_steps(cfg, G, D)
+
+    res = cfg.dataset.resolution
+    batch = make_batch(jax.random.PRNGKey(0), batch_size, res,
+                       cfg.dataset.c_dim, cfg.dataset.embedding_dim)
+    sched = compute_schedules(cfg, cur_nimg=500_000)  # mid-training schedule values
+    rng = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    state, _ = step_plain(state, batch, rng, sched)
+    state, _ = step_r1(state, batch, rng, sched)
+    jax.block_until_ready(state.g_params)
+
+    n_plain, n_r1 = 15, 1
+    t0 = time.perf_counter()
+    for i in range(n_plain):
+        state, _ = step_plain(state, batch, jax.random.fold_in(rng, i), sched)
+    for i in range(n_r1):
+        state, _ = step_r1(state, batch, jax.random.fold_in(rng, 100 + i), sched)
+    jax.block_until_ready(state.g_params)
+    elapsed = time.perf_counter() - t0
+
+    imgs = batch_size * (n_plain + n_r1)
+    return imgs / elapsed, elapsed
+
+
+def main():
+    for batch_size in (16, 8, 4):
+        try:
+            imgs_per_sec, elapsed = run_bench(batch_size)
+            break
+        except Exception as e:  # noqa: BLE001 - OOM fallback
+            err = str(e)
+            if 'RESOURCE_EXHAUSTED' in err or 'Out of memory' in err or 'OOM' in err:
+                continue
+            raise
+    else:
+        raise RuntimeError('all batch sizes OOMed')
+
+    print(json.dumps({
+        'metric': 'G+D train step throughput @256^2 (satellite cfg, r1/16 cadence)',
+        'value': round(imgs_per_sec, 3),
+        'unit': 'imgs/sec/chip',
+        'vs_baseline': round(imgs_per_sec / ASSUMED_A100_IMGS_PER_SEC, 3),
+        'batch_per_chip': batch_size,
+        'baseline_note': f'assumed A100 ref {ASSUMED_A100_IMGS_PER_SEC} imgs/s/GPU (repo publishes none)',
+        'device': str(jax.devices()[0]),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,181 @@
+"""The training loop: data, phases, ticks, snapshots, metrics, logging.
+
+Counterpart of ref src/training/training_loop.py:39-607. The per-step work
+is entirely inside the jitted train step (tdgp.training.train_step); this
+module owns host-side concerns: batch prefetch, schedule computation, the
+ADA controller, tick-cadence logging (stats.jsonl), snapshot save/resume and
+best-checkpoint retention.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdgp import checkpoint as ckpt
+from tdgp.config import Config
+from tdgp.data.dataset import BatchLoader, ImageFolderDataset, normalize_batch
+from tdgp.training.schedules import compute_schedules
+from tdgp.training.train_step import (TrainState, create_train_state,
+                                      make_jitted_train_steps)
+from tdgp.utils.stats import JsonlLogger, StatsCollector
+
+
+def synthetic_batch_iterator(cfg: Config, batch_size: int, seed: int = 0):
+    """Random data source for smoke tests / benchmarking without a dataset."""
+    rng = np.random.RandomState(seed)
+    res = cfg.dataset.resolution
+    c_dim = cfg.dataset.c_dim
+    while True:
+        c = np.zeros((batch_size, c_dim), dtype=np.float32)
+        if c_dim > 0:
+            c[np.arange(batch_size), rng.randint(0, c_dim, batch_size)] = 1
+        yield {
+            'img': rng.uniform(-1, 1, (batch_size, res, res, 3)).astype(np.float32),
+            'depth': rng.uniform(-1, 1, (batch_size, res, res, 1)).astype(np.float32),
+            'c': c,
+            'camera_angles': np.concatenate([
+                rng.uniform(0.5, 1.5, (batch_size, 2)),
+                np.zeros((batch_size, 1))], axis=1).astype(np.float32),
+            'embs': rng.randn(batch_size, cfg.dataset.embedding_dim).astype(np.float32),
+        }
+
+
+def training_loop(
+    cfg: Config,
+    run_dir: str,
+    *,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    batch_iterator=None,                       # yields normalized numpy batches
+    metric_fn: Optional[Callable] = None,      # (state, G, cur_nimg) -> {name: value}
+    vis_fn: Optional[Callable] = None,         # (state, G, cur_nimg) -> None
+    max_kimg: Optional[float] = None,
+    verbose: bool = True,
+) -> TrainState:
+    os.makedirs(run_dir, exist_ok=True)
+    t = cfg.training
+    batch_size = t.batch_size
+    num_shards = 1 if mesh is None else mesh.devices.size
+    assert batch_size % num_shards == 0
+    total_kimg = max_kimg if max_kimg is not None else t.total_kimg
+
+    # ---------------------------------------------------------------- data
+    if batch_iterator is None:
+        if cfg.dataset.path:
+            dataset = ImageFolderDataset(
+                cfg.dataset.path, resolution=cfg.dataset.resolution,
+                use_labels=cfg.dataset.c_dim > 0, use_depth=t.use_depth,
+                use_embeddings=cfg.dataset.use_embeddings and cfg.loss.kd.weight > 0,
+                mirror=cfg.dataset.mirror, max_size=cfg.dataset.max_size,
+                embeddings_path=cfg.dataset.embeddings_path,
+                embeddings_desc_path=cfg.dataset.embeddings_desc_path)
+            loader = BatchLoader(dataset, batch_size)
+            batch_iterator = (normalize_batch(b) for b in loader)
+        else:
+            batch_iterator = synthetic_batch_iterator(cfg, batch_size)
+
+    # ---------------------------------------------------------------- state
+    state, G, D = create_train_state(cfg, seed=t.seed,
+                                     local_batch=batch_size // num_shards)
+    cur_nimg = 0
+    resume_path = ckpt.resolve_resume(run_dir, t.resume)
+    if resume_path:
+        state, meta = ckpt.load_snapshot(resume_path, state)
+        cur_nimg = int(meta.get('cur_nimg', 0))
+        if verbose:
+            print(f'Resumed from {resume_path} at {cur_nimg / 1e3:.1f} kimg')
+
+    step_plain, step_r1 = make_jitted_train_steps(cfg, G, D, mesh=mesh)
+
+    # ---------------------------------------------------------------- loop
+    collector = StatsCollector()
+    jsonl = JsonlLogger(os.path.join(run_dir, 'stats.jsonl'))
+    rng = jax.random.PRNGKey(t.seed)
+    batch_idx = 0
+    cur_tick = 0
+    tick_start_nimg = cur_nimg
+    tick_start_time = time.time()
+    start_time = tick_start_time
+    ada_p = 0.0 if t.augment.mode != 'fixed' else t.augment.p
+    ada_signs_acc: list = []
+    best_metric = None
+    best_snapshot_path = None
+    main_metric = t.metrics[0] if t.metrics else None
+
+    while True:
+        batch = next(batch_iterator)
+        sched = compute_schedules(cfg, cur_nimg, ada_p=ada_p)
+        do_r1 = (cfg.loss.r1_gamma > 0) and (batch_idx % cfg.loss.r1_interval == 0)
+        step_fn = step_r1 if do_r1 else step_plain
+        rng, step_rng = jax.random.split(rng)
+        state, stats = step_fn(state, batch, step_rng, sched)
+
+        host_stats = {k: float(np.asarray(v)) for k, v in stats.items()}
+        collector.report_dict(host_stats)
+        if 'Loss/signs/real' in host_stats:
+            ada_signs_acc.append(host_stats['Loss/signs/real'])
+
+        cur_nimg += batch_size
+        batch_idx += 1
+
+        # ADA controller (ref training_loop.py:372-376)
+        if t.augment.mode == 'ada' and batch_idx % t.augment.ada_interval == 0 and ada_signs_acc:
+            signs = float(np.mean(ada_signs_acc))
+            adjust = np.sign(signs - t.augment.target) * \
+                (batch_size * t.augment.ada_interval) / (t.augment.ada_kimg * 1000)
+            ada_p = max(ada_p + adjust, 0.0)
+            ada_signs_acc = []
+
+        done = cur_nimg >= total_kimg * 1000
+        if not done and cur_nimg < tick_start_nimg + t.tick_kimg * 1000:
+            continue
+
+        # ------------------------------------------------------------ tick
+        cur_tick += 1
+        now = time.time()
+        sec_per_tick = now - tick_start_time
+        sec_per_kimg = sec_per_tick / max((cur_nimg - tick_start_nimg) / 1e3, 1e-8)
+        collector.report('Timing/sec_per_tick', sec_per_tick)
+        collector.report('Timing/sec_per_kimg', sec_per_kimg)
+        collector.report('Progress/augment_p', ada_p)
+        if verbose:
+            print(f"tick {cur_tick:<5d} kimg {cur_nimg / 1e3:<8.1f} "
+                  f"time {now - start_time:<10.1f} sec/kimg {sec_per_kimg:<7.2f} "
+                  f"G_loss {collector.mean('Loss/G/loss'):<6.3f} "
+                  f"D_loss {collector.mean('Loss/D/loss'):<6.3f}")
+
+        if vis_fn is not None and cur_tick % t.image_snap == 0:
+            vis_fn(state, G, cur_nimg)
+
+        metric_results: Dict[str, float] = {}
+        if metric_fn is not None and t.metrics and (cur_tick % t.val_freq == 0 or done):
+            metric_results = metric_fn(state, G, cur_nimg)
+            for name, value in metric_results.items():
+                collector.report(f'Metrics/{name}', value)
+
+        if cur_tick % t.snap == 0 or done:
+            path = ckpt.save_snapshot(run_dir, state, cur_nimg=cur_nimg,
+                                      meta={'batch_idx': batch_idx, 'ada_p': ada_p})
+            # best-checkpoint retention (ref training_loop.py:473-497)
+            if main_metric and main_metric in metric_results:
+                value = metric_results[main_metric]
+                if best_metric is None or value < best_metric:
+                    if best_snapshot_path and best_snapshot_path != path:
+                        prev_kimg = int(os.path.basename(best_snapshot_path).split('-')[-1])
+                        if prev_kimg % (t.snap * t.tick_kimg) != 0:
+                            ckpt.delete_snapshot(best_snapshot_path)
+                    best_metric, best_snapshot_path = value, path
+
+        jsonl.write(collector.as_dict())
+        collector.reset()
+        tick_start_nimg = cur_nimg
+        tick_start_time = time.time()
+        if done:
+            break
+
+    jsonl.close()
+    return state

@@ -1,0 +1,46 @@
+"""Smoke test the full training loop: a few ticks on synthetic data with
+snapshot save + resume (SURVEY.md §4 item (c) + §5.4)."""
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tdgp.config import tiny_test_config, replace
+from tdgp.config import TrainingConfig
+import dataclasses
+
+from tdgp.training.loop import training_loop
+from tdgp import checkpoint as ckpt
+
+
+def loop_cfg():
+    cfg = tiny_test_config()
+    training = dataclasses.replace(
+        cfg.training, batch_size=4, tick_kimg=0.004, snap=2, image_snap=1000,
+        total_kimg=1)
+    return dataclasses.replace(cfg, training=training)
+
+
+def test_training_loop_runs_and_checkpoints(tmp_path):
+    cfg = loop_cfg()
+    run_dir = str(tmp_path / 'run')
+    # 3 ticks of 1 batch each (tick_kimg=0.004 == batch_size)
+    state = training_loop(cfg, run_dir, max_kimg=0.012, verbose=False)
+    assert int(np.asarray(state.step)) == 3
+
+    # stats.jsonl written with expected keys
+    with open(os.path.join(run_dir, 'stats.jsonl')) as f:
+        lines = [json.loads(l) for l in f]
+    assert len(lines) == 3
+    assert 'Loss/G/loss' in lines[0] and 'Loss/D/loss' in lines[0]
+    assert np.isfinite(lines[0]['Loss/G/loss']['mean'])
+
+    # snapshot saved at tick 2 (snap=2)
+    snaps = ckpt.list_snapshots(run_dir)
+    assert len(snaps) >= 1
+
+    # resume continues from the snapshot
+    state2 = training_loop(cfg, run_dir, max_kimg=0.016, verbose=False)
+    assert int(np.asarray(state2.step)) >= 1
