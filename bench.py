@@ -76,7 +76,11 @@ def main():
             break
         except Exception as e:  # noqa: BLE001 - OOM fallback
             err = str(e)
-            if 'RESOURCE_EXHAUSTED' in err or 'Out of memory' in err or 'OOM' in err:
+            oom_markers = ('RESOURCE_EXHAUSTED', 'Out of memory', 'OOM',
+                           'Ran out of memory', 'hbm', 'remote_compile')
+            if any(m in err for m in oom_markers):
+                print(f'# batch {batch_size} failed ({err[:120]}...); retrying smaller',
+                      flush=True)
                 continue
             raise
     else:

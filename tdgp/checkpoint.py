@@ -74,6 +74,30 @@ def load_snapshot(path: str, target_state) -> Tuple[Any, Dict[str, Any]]:
     return state, meta
 
 
+def find_best_checkpoint(run_dir: str, metric: str = 'fid2k_full') -> Optional[str]:
+    """Pick the snapshot with the best (lowest) recorded metric value from
+    metric-<name>.jsonl (ref scripts/utils.py:155-171). Falls back to latest."""
+    jsonl = os.path.join(run_dir, f'metric-{metric}.jsonl')
+    snaps = dict(list_snapshots(run_dir))
+    if not snaps:
+        return None
+    if os.path.exists(jsonl):
+        best_val, best_kimg = None, None
+        with open(jsonl) as f:
+            for line in f:
+                rec = json.loads(line)
+                val = rec.get('results', {}).get(metric)
+                snap = rec.get('snapshot')
+                if val is None or snap is None:
+                    continue
+                kimg = int(snap)
+                if kimg in snaps and (best_val is None or val < best_val):
+                    best_val, best_kimg = val, kimg
+        if best_kimg is not None:
+            return snaps[best_kimg]
+    return snaps[max(snaps)]
+
+
 def delete_snapshot(path: str) -> None:
     if os.path.isdir(path):
         shutil.rmtree(path)

@@ -37,10 +37,16 @@ from tdgp.utils.tensor_group import TensorGroup
 
 
 def tri_plane_sample(planes: jnp.ndarray, coords: jnp.ndarray, scale: float) -> jnp.ndarray:
-    """Sample 3 axis-aligned planes at 3D points (ref tri_plane_renderer.py:560-585).
+    """Sample 3 axis-aligned planes at 3D points and average them
+    (ref tri_plane_renderer.py:560-585 + the MLP's plane-mean, networks_epigraf.py:54).
+
+    Averaging here (instead of materializing [N, 3, P, F] and reducing in the
+    MLP) removes the largest temporary of the render pass — the downstream
+    MLP is linear in its first layer, so mean-then-MLP == MLP-then-mean of
+    the reference.
 
     planes: [N, H, W, 3, F]; coords: [N, P, 3] world coords; scale: cube half-side.
-    Returns [N, 3, P, F].
+    Returns [N, P, F].
     """
     n, h, w, _, f = planes.shape
     p = coords.shape[1]
@@ -53,7 +59,7 @@ def tri_plane_sample(planes: jnp.ndarray, coords: jnp.ndarray, scale: float) -> 
     ], axis=1)  # [N, 3, P, 2]
     planes_flat = planes.transpose(0, 3, 1, 2, 4).reshape(n * 3, h, w, f)
     feats = grid_sample_2d(planes_flat, grids.reshape(n * 3, p, 2), align_corners=True)
-    return feats.reshape(n, 3, p, f)
+    return jnp.mean(feats.reshape(n, 3, p, f), axis=1)
 
 
 class TriPlaneMLP(nn.Module):
@@ -63,11 +69,10 @@ class TriPlaneMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """x: [N, 3, P, feat_dim] -> (rgb [N, P, out_dim], sigma [N, P])."""
-        n, _, p, feat_dim = x.shape
+        """x: [N, P, feat_dim] plane-averaged features
+        -> (rgb [N, P, out_dim], sigma [N, P])."""
         mlp = self.cfg.tri_plane.mlp
         assert mlp.n_layers >= 2, "need >= 2 layers (ref networks_epigraf.py:42)"
-        x = jnp.mean(x, axis=1)  # average over the 3 planes (ref :54)
         hid = mlp.hid_dim
         out_total = self.out_dim + 1
         dims = [hid] * (mlp.n_layers - 1) + [out_total]
@@ -173,9 +178,17 @@ class SynthesisNetwork(nn.Module):
                                    patch_params=patch_params)
         opts = self._render_opts(cut_quantile=cut_quantile)
 
+        # remat: recompute plane gathers + MLP in the backward pass instead of
+        # storing activations for every ray sample (two passes x 64 steps) —
+        # trades cheap FLOPs for the dominant HBM cost of training.
+        def _run(mlp, planes_, coords):
+            feats = tri_plane_sample(planes_, coords, scale=c.camera.cube_scale)
+            return mlp(feats)
+
+        _run_remat = nn.remat(_run)
+
         def run_model(coords):
-            feats = tri_plane_sample(planes, coords, scale=c.camera.cube_scale)
-            return self.tri_plane_mlp(feats)
+            return _run_remat(self.tri_plane_mlp, planes, coords)
 
         key = self.make_rng('render') if train else jax.random.PRNGKey(0)
         noise_std = nerf_noise_std if train else 0.0
