@@ -1,0 +1,233 @@
+"""Pallas TPU kernels for the hot ops.
+
+Per the north star (BASELINE.json): StyleGAN custom CUDA ops and the volume
+renderer get TPU-native kernels. Design notes on what is (and is not) a
+Pallas kernel here:
+
+  - bias_act_pallas: fused bias+activation+gain+clamp on VPU tiles. XLA
+    already fuses the jnp version into conv epilogues; this standalone
+    kernel exists for the cases where the op is the whole program (e.g.
+    giant activation maps) and as the parity-tested template.
+  - ray_march_pallas: the ENTIRE volume integration — softplus/relu
+    clamping, per-sample deltas, alpha, exclusive cumulative transmittance,
+    weighted rgb/depth sums, final transmittance — in one VMEM pass over
+    [ray_tile, steps] blocks. The jnp version materializes five
+    [B,R,S]-sized intermediates in HBM; this kernel reads colors/densities/
+    depths once and writes only the [B,R] outputs: ~(S+...)x less HBM
+    traffic on the hottest reduction of the model.
+  - tri-plane feature GATHER stays on XLA's native gather engine: planes
+    (3x512²x32 = 100MB fp32) cannot live in VMEM, and per-sample dynamic
+    DMA from HBM inside a kernel serializes; XLA's gather lowering
+    pipelines it. (Measured tradeoff, documented in docs/DESIGN.md.)
+
+All kernels carry custom_vjp where training needs gradients.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tdgp.ops.bias_act import activation_funcs
+
+
+# ------------------------------------------------------------- bias_act
+
+def _bias_act_kernel(x_ref, b_ref, o_ref, *, act: str, alpha: float, gain: float,
+                     clamp: Optional[float]):
+    x = x_ref[:] + b_ref[:]
+    x = activation_funcs[act].func(x, alpha)
+    if gain != 1.0:
+        x = x * gain
+    if clamp is not None:
+        x = jnp.clip(x, -clamp, clamp)
+    o_ref[:] = x
+
+
+def bias_act_pallas(x: jnp.ndarray, b: Optional[jnp.ndarray] = None, *,
+                    act: str = 'linear', alpha: Optional[float] = None,
+                    gain: Optional[float] = None,
+                    clamp: Optional[float] = None) -> jnp.ndarray:
+    """Channels-last fused bias+act. x: [..., C]; b: [C]."""
+    spec = activation_funcs[act]
+    alpha = float(spec.def_alpha if alpha is None else alpha)
+    gain = float(spec.def_gain if gain is None else gain)
+    orig_shape = x.shape
+    c = orig_shape[-1]
+    rows = int(x.size // c)
+    x2 = x.reshape(rows, c)
+    if b is None:
+        b = jnp.zeros((c,), dtype=x.dtype)
+
+    row_tile = min(rows, 1024)
+    grid = (pl.cdiv(rows, row_tile),)
+    out = pl.pallas_call(
+        functools.partial(_bias_act_kernel, act=act, alpha=alpha, gain=gain,
+                          clamp=clamp),
+        out_shape=jax.ShapeDtypeStruct((rows, c), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((row_tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((row_tile, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(x2, b.astype(x.dtype))
+    return out.reshape(orig_shape)
+
+
+# ------------------------------------------------------------- ray marcher
+
+def _ray_march_kernel(colors_ref, densities_ref, depths_ref,
+                      rgb_ref, depth_ref, wsum_ref, ftrans_ref, *,
+                      clamp_mode: str, sp_beta: float, last_delta: float,
+                      last_back: bool):
+    """One tile: colors [R, S, C], densities [R, S], depths [R, S]."""
+    densities = densities_ref[:]
+    depths = depths_ref[:]
+    colors = colors_ref[:]
+    r, s = densities.shape
+
+    deltas = depths[:, 1:] - depths[:, :-1]                       # [R, S-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.full((r, 1), last_delta, deltas.dtype)], axis=1)
+
+    if clamp_mode == 'softplus':
+        densities = jax.nn.softplus(sp_beta * densities) / sp_beta
+    else:
+        densities = jnp.maximum(densities, 0.0)
+
+    alphas = 1.0 - jnp.exp(-deltas * densities)                   # [R, S]
+    # cumprod/cumsum are unimplemented in Mosaic; factors live in (1e-10, 1],
+    # so the prefix product becomes exp(prefix-sum(log(.))), and the prefix
+    # sum rides the MXU as a matmul with a triangular iota mask.
+    logv = jnp.log(1.0 - alphas + 1e-10)                           # [R, S]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    prefix_mask = (rows <= cols).astype(jnp.float32)               # [S, S]
+    trans_incl = jnp.exp(jnp.dot(logv, prefix_mask,
+                                 preferred_element_type=jnp.float32))
+    # exclusive transmittance: shift right, first = 1
+    trans_excl = jnp.concatenate(
+        [jnp.ones((r, 1), trans_incl.dtype), trans_incl[:, :-1]], axis=1)
+    weights = alphas * trans_excl                                  # [R, S]
+    wsum = jnp.sum(weights, axis=1, keepdims=True)                 # [R, 1]
+
+    if last_back:
+        correction = jnp.zeros_like(weights).at[:, -1].set((1.0 - wsum)[:, 0])
+        weights = weights + correction
+
+    rgb_ref[:] = jnp.sum(weights[:, :, None] * colors, axis=1)
+    depth_ref[:] = jnp.sum(weights * depths, axis=1, keepdims=True)
+    wsum_ref[:] = jnp.sum(weights, axis=1, keepdims=True)
+    ftrans_ref[:] = trans_incl[:, -1:]
+
+
+def ray_march_pallas(colors: jnp.ndarray, densities: jnp.ndarray,
+                     depths: jnp.ndarray, *, clamp_mode: str = 'softplus',
+                     sp_beta: float = 1.0, use_inf_depth: bool = True,
+                     last_back: bool = False,
+                     ray_tile: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                   jnp.ndarray, jnp.ndarray]:
+    """Fused classical volume integration.
+
+    colors [B,R,S,C], densities [B,R,S], depths [B,R,S] ->
+    (rgb [B,R,C], depth [B,R], weights_sum [B,R], final_transmittance [B,R]).
+    Matches tdgp.rendering.renderer.classical_ray_march (no cut_quantile /
+    fill modes — those are eval-only paths that stay in jnp).
+    """
+    b, r_rays, s = densities.shape
+    c = colors.shape[-1]
+    n = b * r_rays
+    colors2 = colors.reshape(n, s, c)
+    densities2 = densities.reshape(n, s)
+    depths2 = depths.reshape(n, s)
+    last_delta = 1e10 if use_inf_depth else 1e-3
+
+    ray_tile = min(ray_tile, n)
+    grid = (pl.cdiv(n, ray_tile),)
+    kernel = functools.partial(_ray_march_kernel, clamp_mode=clamp_mode,
+                               sp_beta=sp_beta, last_delta=last_delta,
+                               last_back=last_back)
+    rgb, depth, wsum, ftrans = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ray_tile, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((ray_tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+    )(colors2.astype(jnp.float32), densities2.astype(jnp.float32),
+      depths2.astype(jnp.float32))
+    return (rgb.reshape(b, r_rays, c), depth.reshape(b, r_rays),
+            wsum.reshape(b, r_rays), ftrans.reshape(b, r_rays))
+
+
+# -------------------------------------------------- fused tri-plane MLP
+
+def _triplane_mlp_kernel(feats_ref, w0_ref, b0_ref, w1_ref, b1_ref,
+                         rgb_ref, sigma_ref, *, lrelu_gain: float):
+    """feats [T, F] -> 2-layer MLP -> rgb [T, C], sigma [T, 1]."""
+    x = feats_ref[:]
+    h = jnp.dot(x, w0_ref[:], preferred_element_type=jnp.float32) + b0_ref[:]
+    h = jnp.where(h >= 0, h, 0.2 * h) * lrelu_gain
+    y = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    rgb_ref[:] = y[:, :-1]
+    sigma_ref[:] = y[:, -1:]
+
+
+def triplane_mlp_pallas(feats: jnp.ndarray, w0: jnp.ndarray, b0: jnp.ndarray,
+                        w1: jnp.ndarray, b1: jnp.ndarray,
+                        point_tile: int = 2048) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused 2-layer tri-plane MLP over point tiles (ref TriPlaneMLP with
+    n_layers=2: lrelu hidden + linear out, equalized-lr scaling PRE-FOLDED
+    into w/b by the caller).
+
+    feats: [N, P, F] -> (rgb [N, P, C], sigma [N, P]).
+    """
+    n, p, f = feats.shape
+    out_total = w1.shape[1]
+    t = n * p
+    feats2 = feats.reshape(t, f)
+    point_tile = min(point_tile, t)
+    grid = (pl.cdiv(t, point_tile),)
+    lrelu_gain = math.sqrt(2.0)
+    rgb, sigma = pl.pallas_call(
+        functools.partial(_triplane_mlp_kernel, lrelu_gain=lrelu_gain),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, out_total - 1), jnp.float32),
+            jax.ShapeDtypeStruct((t, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((point_tile, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, w0.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w0.shape[1],), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w0.shape[1], out_total), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_total,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((point_tile, out_total - 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((point_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+    )(feats2.astype(jnp.float32), w0.astype(jnp.float32), b0.astype(jnp.float32),
+      w1.astype(jnp.float32), b1.astype(jnp.float32))
+    return rgb.reshape(n, p, out_total - 1), sigma.reshape(n, p)

@@ -1,0 +1,43 @@
+"""Device mesh + sharding helpers.
+
+Counterpart of the reference's NCCL plumbing (SURVEY.md §2.3): the reference
+hand-rolled DP with `torch.multiprocessing.spawn` + flat-tensor all_reduce
+(ref training_loop.py:335-344); here a 1-D 'data' mesh + shard_map inside the
+train step (tdgp.training.train_step) replaces all of it, and multi-host
+comes free from jax.distributed over DCN with ICI handling the intra-slice
+collectives.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = 'data') -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = 'data') -> Dict[str, Any]:
+    """Place host batch arrays sharded along axis 0 of the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def init_distributed() -> None:
+    """Multi-host initialization (replaces the reference's file-based NCCL
+    rendezvous, ref train.py:37-44). No-op on a single host."""
+    import os
+    if 'COORDINATOR_ADDRESS' in os.environ:
+        jax.distributed.initialize()
