@@ -203,7 +203,22 @@ def compute_cam2world_matrix(camera_params: TensorGroup) -> jnp.ndarray:
 def validate_frustum(fov: float, near: float, far: float, radius: float,
                      scale: float = 1.0, step: float = 1e-2, verbose: bool = False) -> bool:
     """Checks the whole viewing frustum stays inside the [-scale, scale]^3 cube
-    for every camera on the sphere (ref rendering_utils.py:289-331)."""
+    for every camera on the sphere (ref rendering_utils.py:289-331).
+
+    Host-side startup validation: pinned to the CPU backend so it never
+    waits on an accelerator compile queue."""
+    try:
+        cpu = jax.devices('cpu')[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return _validate_frustum_impl(fov, near, far, radius, scale, step, verbose)
+    return _validate_frustum_impl(fov, near, far, radius, scale, step, verbose)
+
+
+def _validate_frustum_impl(fov: float, near: float, far: float, radius: float,
+                           scale: float, step: float, verbose: bool) -> bool:
     num_angles = int((math.pi / 2) / step)
     yaw = np.linspace(0, 2 * math.pi, num_angles)
     pitch = np.clip(np.linspace(0, math.pi, num_angles), 1e-7, math.pi - 1e-7)

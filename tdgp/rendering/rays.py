@@ -71,7 +71,21 @@ def get_ray_limits_box(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
 def validate_image_plane(fov: float, radius: float, scale: float = 1.0,
                          step: float = 1e-2) -> bool:
-    """All frustum corner rays must hit the cube (ref tri_plane_renderer.py:531-556)."""
+    """All frustum corner rays must hit the cube (ref tri_plane_renderer.py:531-556).
+    Pinned to CPU like validate_frustum."""
+    import jax
+    try:
+        cpu = jax.devices('cpu')[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return _validate_image_plane_impl(fov, radius, scale, step)
+    return _validate_image_plane_impl(fov, radius, scale, step)
+
+
+def _validate_image_plane_impl(fov: float, radius: float, scale: float,
+                               step: float) -> bool:
     import numpy as np
     num_angles = int((math.pi / 2) / step)
     yaw = np.linspace(0, 2 * math.pi, num_angles)
