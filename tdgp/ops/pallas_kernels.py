@@ -102,11 +102,14 @@ def _ray_march_kernel(colors_ref, densities_ref, depths_ref,
     else:
         densities = jnp.maximum(densities, 0.0)
 
-    alphas = 1.0 - jnp.exp(-deltas * densities)                   # [R, S]
+    factor = jnp.exp(-deltas * densities)                         # = 1 - alpha, [R, S]
+    alphas = 1.0 - factor
     # cumprod/cumsum are unimplemented in Mosaic; factors live in (1e-10, 1],
     # so the prefix product becomes exp(prefix-sum(log(.))), and the prefix
-    # sum rides the MXU as a matmul with a triangular iota mask.
-    logv = jnp.log(1.0 - alphas + 1e-10)                           # [R, S]
+    # sum rides the MXU as a matmul with a triangular iota mask. Using
+    # `factor` directly (not 1-alphas+eps) avoids a catastrophic-cancellation
+    # -inf that would NaN the masked matmul.
+    logv = jnp.log(factor + 1e-10)                                 # [R, S]
     rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
     prefix_mask = (rows <= cols).astype(jnp.float32)               # [S, S]
