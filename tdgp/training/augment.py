@@ -228,11 +228,12 @@ class AugmentPipe:
         grid = coords.reshape(n, h_out, w_out, 2)
         images = grid_sample_nhwc(images, grid, align_corners=False)
 
+        # the output canvas was (h + 2*hz_pad)*2; the negative padding here
+        # crops the filter halo back to exactly (h, w) (ref :311-312)
         images = downsample2d(images, self.hz_geom, down=2, padding=-hz_pad * 2,
                               flip_filter=True)
-        # crop back to the original canvas (remove the static margin)
-        y0, x0 = my, mx
-        return images[:, y0:y0 + h, x0:x0 + w, :]
+        assert images.shape[1] == h and images.shape[2] == w, images.shape
+        return images
 
     def _execute_color(self, images: jnp.ndarray, c_mat: jnp.ndarray) -> jnp.ndarray:
         """Apply 4x4 color matrix to color channels only (ref :356-382)."""

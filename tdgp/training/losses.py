@@ -41,7 +41,7 @@ def g_forward(G: Generator, g_vars, z, c, camera_params: TensorGroup,
               update_emas: bool = False):
     """ref loss.py:69-83 (run_G). Returns (out TensorGroup(img, depth, ws),
     patch_params, posterior camera_params, updated ema vars or None)."""
-    k_patch, k_noise, k_render, k_depth, k_drop = jax.random.split(rng, 5)
+    k_patch, k_noise, k_render, k_depth, k_drop, k_mix = jax.random.split(rng, 6)
     patch_params = None
     if cfg.generator.patch.enabled:
         patch_params = sample_patch_params(k_patch, z.shape[0], cfg.generator.patch,
@@ -51,6 +51,19 @@ def g_forward(G: Generator, g_vars, z, c, camera_params: TensorGroup,
     def fwd(g: Generator):
         ws = g.mapping(z, c, camera_angles=camera_angles_cond,
                        update_emas=update_emas, train=True)
+        if cfg.loss.style_mixing_prob > 0:
+            # ref loss.py:71-75: with prob p, replace ws[cutoff:] by a second
+            # latent's styles
+            k_cut, k_p, k_z2 = jax.random.split(k_mix, 3)
+            num_ws = ws.shape[1]
+            cutoff = jax.random.randint(k_cut, (), 1, num_ws)
+            cutoff = jnp.where(jax.random.uniform(k_p, ()) < cfg.loss.style_mixing_prob,
+                               cutoff, num_ws)
+            z2 = jax.random.normal(k_z2, z.shape, z.dtype)
+            ws2 = g.mapping(z2, c, camera_angles=camera_angles_cond,
+                            update_emas=False, train=True)
+            idx = jnp.arange(num_ws)[None, :, None]
+            ws = jnp.where(idx >= cutoff, ws2, ws)
         cam = camera_params
         if cfg.training.learn_camera_dist:
             cam = g.synthesis.apply_camera_adaptor(camera_params, z, c)

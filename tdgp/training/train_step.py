@@ -150,6 +150,12 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
     adv = cfg.loss.adv_loss_type
     clamp = cfg.discriminator.logits_clamp_val
 
+    augment_pipe = None
+    if cfg.training.augment.mode != 'noaug':
+        from tdgp.training.augment import AugmentPipe
+        augment_pipe = AugmentPipe(cfg.training.augment,
+                                   num_color_channels=cfg.generator.img_channels)
+
     def pmean(x):
         return jax.lax.pmean(x, axis_name) if axis_name else x
 
@@ -161,8 +167,14 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
         if axis_name:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         n = batch['img'].shape[0]
-        k_gen_g, k_gen_d, k_gfwd, k_dfwd, k_reg, k_patch_real = jax.random.split(rng, 6)
+        (k_gen_g, k_gen_d, k_gfwd, k_dfwd, k_reg, k_patch_real,
+         k_aug, k_pl) = jax.random.split(rng, 8)
         stats: Dict[str, jnp.ndarray] = {}
+
+        augment_fn = None
+        if augment_pipe is not None:
+            def augment_fn(img, aug_rng):  # noqa: E306
+                return augment_pipe(img, sched.ada_p, aug_rng)
 
         # ------------------------------------------------------ Gmain phase
         zg, cg, camg, condg = _sample_gen_inputs(k_gen_g, n, cfg, sched,
@@ -174,7 +186,8 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
                 G, g_vars, zg, cg, camg, condg, sched, k_gfwd, cfg)
             logits, _ = losses.d_forward(
                 D, {'params': state.d_params}, out.img, cg, sched, cfg,
-                patch_params=patch_params, camera_angles=cam_post.angles)
+                patch_params=patch_params, camera_angles=cam_post.angles,
+                augment_fn=augment_fn, rng=jax.random.fold_in(k_aug, 0))
             loss_gmain = jnp.mean(losses.adv_loss_g(logits, adv))
             aux = {'Loss/G/loss': loss_gmain,
                    'Loss/scores/fake': jnp.mean(logits),
@@ -203,6 +216,61 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
         g_params = optax.apply_updates(state.g_params, g_updates)
         stats.update(g_aux)
 
+        # -------------------------------------------------- Greg_pl phase
+        # path-length regularization every r1_interval steps (ref loss.py:238-253;
+        # pl_weight is 0 in every shipped 3DGP config but the phase is supported)
+        pl_mean = state.pl_mean
+        if do_r1 and cfg.loss.pl_weight > 0:
+            shrink = max(cfg.loss.pl_batch_shrink, 1)
+            n_pl = max(n // shrink, 1)
+            gain_pl = float(cfg.loss.r1_interval)
+            zp, cp, camp, condp = (zg[:n_pl], cg[:n_pl], camg[:n_pl], condg[:n_pl])
+            k_pl_fwd, k_pl_noise = jax.random.split(k_pl)
+
+            def pl_loss_fn(params):
+                g_vars = {'params': params, 'consts': state.g_consts,
+                          'ema': state.g_ema_coll}
+                rngs = {'noise': k_pl_fwd, 'render': k_pl_fwd, 'depth': k_pl_fwd,
+                        'dropout': k_pl_fwd}
+                ws = G.apply(g_vars, method=lambda g: g.mapping(
+                    zp, cp, camera_angles=condp, train=True))
+                cam_post = camp
+                if cfg.training.learn_camera_dist:
+                    cam_post = G.apply(g_vars, method=lambda g:
+                                       g.synthesis.apply_camera_adaptor(camp, zp, cp))
+                pp = None
+                if cfg.generator.patch.enabled:
+                    pp = sample_patch_params(k_pl_fwd, n_pl, cfg.generator.patch,
+                                             min_scale=sched.patch_min_scale,
+                                             beta=sched.patch_beta)
+
+                def synth(w):
+                    out = G.apply(g_vars, method=lambda g: g.synthesis(
+                        w, cam_post, pp, train=True,
+                        nerf_noise_std=sched.nerf_noise_std,
+                        depth_progress=sched.depth_progress), rngs=rngs)
+                    return out
+
+                img, vjp_fn = jax.vjp(synth, ws)
+                h, w_ = img.shape[1], img.shape[2]
+                pl_noise = jax.random.normal(k_pl_noise, img.shape) / jnp.sqrt(h * w_)
+                (pl_grads,) = vjp_fn(pl_noise)
+                pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(pl_grads ** 2, axis=2), axis=1))
+                new_mean = state.pl_mean + cfg.loss.pl_decay * (
+                    jnp.mean(pl_lengths) - state.pl_mean)
+                penalty = jnp.square(pl_lengths - jax.lax.stop_gradient(new_mean))
+                loss = jnp.mean(penalty) * cfg.loss.pl_weight * gain_pl
+                return loss, (new_mean, jnp.mean(penalty))
+
+            (pl_loss, (pl_mean, pl_pen)), pl_grads_tree = jax.value_and_grad(
+                pl_loss_fn, has_aux=True)(g_params)
+            pl_grads_tree = scrub(pmean(pl_grads_tree))
+            pl_updates, g_opt = g_tx.update(pl_grads_tree, g_opt, g_params)
+            g_params = optax.apply_updates(g_params, pl_updates)
+            pl_mean = pmean(pl_mean)
+            stats['Loss/pl_penalty'] = pl_pen
+            stats['Loss/G/reg'] = pl_loss
+
         # ------------------------------------------------------ Dmain phase
         zd, cd, camd, condd = _sample_gen_inputs(k_gen_d, n, cfg, sched,
                                                  batch.get('gen_c_d'))
@@ -229,11 +297,13 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
             d_vars = {'params': d_params}
             fake_logits, _ = losses.d_forward(
                 D, d_vars, fake_img, cd, sched, cfg,
-                patch_params=fake_patch_params, camera_angles=fake_angles)
+                patch_params=fake_patch_params, camera_angles=fake_angles,
+                augment_fn=augment_fn, rng=jax.random.fold_in(k_aug, 1))
             real_logits, real_feats = losses.d_forward(
                 D, d_vars, real_patches, batch['c'], sched, cfg,
                 patch_params=real_pp, camera_angles=batch['camera_angles'],
-                predict_feat=do_kd)
+                predict_feat=do_kd,
+                augment_fn=augment_fn, rng=jax.random.fold_in(k_aug, 2))
             loss_fake = jnp.mean(losses.adv_loss_d_fake(fake_logits, adv, clamp))
             loss_real = jnp.mean(losses.adv_loss_d_real(real_logits, adv, clamp))
             total = loss_fake + loss_real
@@ -265,7 +335,8 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
                 def logits_of_img(img):
                     logits, _ = losses.d_forward(
                         D, d_vars, img, batch['c'], sched, cfg,
-                        patch_params=real_pp, camera_angles=batch['camera_angles'])
+                        patch_params=real_pp, camera_angles=batch['camera_angles'],
+                        augment_fn=augment_fn, rng=jax.random.fold_in(k_aug, 3))
                     return jnp.sum(logits)
 
                 r1_grads = jax.grad(logits_of_img)(real_patches)
@@ -291,7 +362,7 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
             step=state.step + 1, g_params=g_params, g_ema_coll=new_ema_coll,
             d_params=d_params, ema_params=ema_params,
             ema_ema_coll=jax.tree.map(jnp.copy, new_ema_coll),
-            g_opt=g_opt, d_opt=d_opt)
+            g_opt=g_opt, d_opt=d_opt, pl_mean=pl_mean)
         return new_state, stats
 
     return step

@@ -1,0 +1,63 @@
+"""Optional training paths: ADA augmentation in-step, PL regularization,
+style mixing."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tdgp.config import tiny_test_config
+from tdgp.training.schedules import compute_schedules
+from tdgp.training.train_step import create_train_state, make_jitted_train_steps
+from tests.test_train_step import make_batch
+
+CFG = tiny_test_config()
+
+
+def test_augment_pipe_shapes_and_identity_at_p0():
+    from tdgp.training.augment import AugmentPipe
+    cfg = CFG.training.augment
+    pipe = AugmentPipe(cfg, num_color_channels=3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 4))
+    out0 = pipe(x, jnp.asarray(0.0), jax.random.PRNGKey(1))
+    assert out0.shape == x.shape
+    # p=0 -> all transforms gated off -> identity up to resampling error
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(x), atol=5e-2)
+    out1 = pipe(x, jnp.asarray(1.0), jax.random.PRNGKey(1))
+    assert out1.shape == x.shape
+    assert np.mean(np.abs(np.asarray(out1) - np.asarray(x))) > 0.05
+    assert np.all(np.isfinite(np.asarray(out1)))
+
+
+def test_augment_depth_channel_untouched_by_color():
+    from tdgp.config import AugmentCfg
+    from tdgp.training.augment import AugmentPipe
+    # color-only pipeline (no geometric) -> depth channel must be identical
+    cfg = AugmentCfg(xflip=0, rotate90=0, xint=0, scale=0, rotate=0, aniso=0,
+                     xfrac=0, brightness=1, contrast=1, lumaflip=1, hue=1,
+                     saturation=1)
+    pipe = AugmentPipe(cfg, num_color_channels=3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 4))
+    out = pipe(x, jnp.asarray(1.0), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(out[..., 3]), np.asarray(x[..., 3]),
+                               atol=1e-5)
+    assert np.mean(np.abs(np.asarray(out[..., :3]) - np.asarray(x[..., :3]))) > 0.05
+
+
+def test_train_step_with_ada_and_pl():
+    training = dataclasses.replace(
+        CFG.training, augment=dataclasses.replace(CFG.training.augment, mode='ada'))
+    loss = dataclasses.replace(CFG.loss, pl_weight=2.0, style_mixing_prob=0.5)
+    cfg = dataclasses.replace(CFG, training=training, loss=loss)
+
+    state, G, D = create_train_state(cfg, seed=0, local_batch=4)
+    _, step_r1 = make_jitted_train_steps(cfg, G, D)
+    batch = make_batch(jax.random.PRNGKey(0), 4)
+    sched = compute_schedules(cfg, cur_nimg=0, ada_p=0.3)
+    state1, stats = step_r1(state, batch, jax.random.PRNGKey(1), sched)
+    assert 'Loss/pl_penalty' in stats
+    for k, v in stats.items():
+        assert np.isfinite(float(v)), f'{k} not finite'
+    assert float(state1.pl_mean) != 0.0
