@@ -48,6 +48,7 @@ class ImageFolderDataset:
                  mean_yaw: float = 0.0):
         self._path = path
         self._zip: Optional[zipfile.ZipFile] = None
+        self._lock = threading.Lock()
         self._use_labels = use_labels
         self._use_depth = use_depth
         self._use_embeddings = use_embeddings
@@ -93,7 +94,6 @@ class ImageFolderDataset:
         self._raw_camera_angles: Optional[np.ndarray] = None
         self._embeddings: Optional[np.ndarray] = None
         self._idx2embidx: Optional[np.ndarray] = None
-        self._lock = threading.Lock()
 
     # ------------------------------------------------------------- file io
 
