@@ -171,29 +171,48 @@ def sample_stratified(key, batch: int, num_rays: int, num_steps: int,
 
 def sample_pdf(key, bins: jnp.ndarray, weights: jnp.ndarray, n_importance: int,
                det: bool = False, eps: float = 1e-5) -> jnp.ndarray:
-    """Inverse-CDF sampling (ref tri_plane_renderer.py:257-295, searchsorted right=True).
+    """Inverse-CDF sampling (ref tri_plane_renderer.py:257-295).
 
-    bins: [N, S+1] bin edges; weights: [N, S]. Returns [N, n_importance].
+    bins: [N, W] sorted bin edges; weights: [N, W-1]. Returns [N, n_importance],
+    SORTED along the sample axis.
+
+    TPU redesign vs the reference:
+      - u is stratified ((i + U[0,1))/I) instead of iid — lower-variance
+        importance estimates AND monotone, so outputs come out sorted and the
+        downstream coarse/fine merge needs no sort
+      - searchsorted + 4x gather are replaced by comparison-count indices and
+        masked min/max interpolation-point extraction — pure VPU reductions;
+        gather/scatter and per-row scans are measured hotspots on TPU.
     """
-    n_rays, n_samples = weights.shape
+    n_rays, n_bins = bins.shape
     weights = weights + eps
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)
-    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # [N, S+1]
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # [N, W]
 
     if det:
         u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_importance), (n_rays, n_importance))
     else:
-        u = jax.random.uniform(key, (n_rays, n_importance))
+        base = jnp.arange(n_importance, dtype=jnp.float32) / n_importance
+        u = base[None, :] + jax.random.uniform(key, (n_rays, n_importance)) / n_importance
 
-    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side='right'))(cdf, u)
-    below = jnp.clip(inds - 1, 0, None)
-    above = jnp.clip(inds, None, n_samples)
-
-    cdf_lo = jnp.take_along_axis(cdf, below, axis=1)
-    cdf_hi = jnp.take_along_axis(cdf, above, axis=1)
-    bins_lo = jnp.take_along_axis(bins, below, axis=1)
-    bins_hi = jnp.take_along_axis(bins, above, axis=1)
+    le = cdf[:, :, None] <= u[:, None, :]                    # [N, W, I]
+    inds = jnp.sum(le.astype(jnp.int32), axis=1)             # searchsorted right
+    # interpolation endpoints without gathers: cdf/bins are sorted, so
+    # value[below] = max over masked prefix, value[above] = min over suffix
+    gt = jnp.logical_not(le)
+    big = jnp.float32(3.4e38)
+    cdf_b = cdf[:, :, None]
+    bins_b = bins[:, :, None]
+    cdf_lo = jnp.max(jnp.where(le, cdf_b, -big), axis=1)
+    cdf_hi = jnp.min(jnp.where(gt, cdf_b, big), axis=1)
+    bins_lo = jnp.max(jnp.where(le, bins_b, -big), axis=1)
+    bins_hi = jnp.min(jnp.where(gt, bins_b, big), axis=1)
+    # clip semantics of the reference (below>=0, above<=W-1)
+    cdf_lo = jnp.where(inds == 0, cdf[:, :1], cdf_lo)
+    bins_lo = jnp.where(inds == 0, bins[:, :1], bins_lo)
+    cdf_hi = jnp.where(inds >= n_bins, cdf[:, -1:], cdf_hi)
+    bins_hi = jnp.where(inds >= n_bins, bins[:, -1:], bins_hi)
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, 1.0, denom)
@@ -223,7 +242,9 @@ def sample_importance(key, z_vals: jnp.ndarray, weights: jnp.ndarray, n_importan
 
 
 def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2):
-    """Merge + depth-sort coarse & fine samples (ref tri_plane_renderer.py:196-206)."""
+    """Merge + depth-sort coarse & fine samples (ref tri_plane_renderer.py:196-206).
+    General (unsorted-input) path; the renderer hot path uses
+    unify_samples_sorted."""
     all_depths = jnp.concatenate([depths1, depths2], axis=-1)        # [B,R,S1+S2]
     all_colors = jnp.concatenate([colors1, colors2], axis=-2)        # [B,R,S1+S2,C]
     all_densities = jnp.concatenate([densities1, densities2], axis=-1)
@@ -232,6 +253,35 @@ def unify_samples(depths1, colors1, densities1, depths2, colors2, densities2):
     all_depths = jnp.take_along_axis(all_depths, idx, axis=-1)
     all_colors = jnp.take_along_axis(all_colors, idx[..., None], axis=-2)
     all_densities = jnp.take_along_axis(all_densities, idx, axis=-1)
+    return all_depths, all_colors, all_densities
+
+
+def unify_samples_sorted(depths1, colors1, densities1, depths2, colors2, densities2):
+    """Merge two per-ray-SORTED sample sets without sorting.
+
+    Replaces argsort + 3x take_along_axis (measured 167 ms/step on TPU, with
+    a scatter-add backward) by comparison-count merge positions + one-hot
+    matmuls (MXU forward, MXU-transpose backward). Stratified coarse samples
+    and stratified inverse-CDF fine samples are both sorted by construction.
+    """
+    s1, s2 = depths1.shape[-1], depths2.shape[-1]
+    s = s1 + s2
+    # merged position: strict/non-strict asymmetry breaks ties uniquely
+    pos1 = jnp.arange(s1) + jnp.sum(
+        (depths2[..., None, :] < depths1[..., :, None]).astype(jnp.int32), axis=-1)
+    pos2 = jnp.arange(s2) + jnp.sum(
+        (depths1[..., None, :] <= depths2[..., :, None]).astype(jnp.int32), axis=-1)
+    oh1 = jax.nn.one_hot(pos1, s, dtype=depths1.dtype)  # [B,R,S1,S]
+    oh2 = jax.nn.one_hot(pos2, s, dtype=depths2.dtype)  # [B,R,S2,S]
+
+    def scatter(v1, v2):
+        return (jnp.einsum('bri,brij->brj', v1, oh1)
+                + jnp.einsum('bri,brij->brj', v2, oh2))
+
+    all_depths = scatter(depths1, depths2)
+    all_densities = scatter(densities1, densities2)
+    all_colors = (jnp.einsum('bric,brij->brjc', colors1, oh1)
+                  + jnp.einsum('bric,brij->brjc', colors2, oh2))
     return all_depths, all_colors, all_densities
 
 
@@ -282,7 +332,8 @@ def importance_render(run_model: RunModelFn, ray_origins: jnp.ndarray,
         tdist_fine = s_to_t(sdist_fine)
         colors_fine, densities_fine = eval_model(tdist_fine, k_noise2)
 
-        all_depths, all_colors, all_densities = unify_samples(
+        # both sample sets are sorted by construction -> sort-free merge
+        all_depths, all_colors, all_densities = unify_samples_sorted(
             tdist_coarse, colors_coarse, densities_coarse,
             tdist_fine, colors_fine, densities_fine)
         rgb_final, depth_final, weights, final_transmittance = _march(

@@ -193,6 +193,28 @@ def test_sample_pdf_concentrates_on_heavy_bin():
     assert inside > 0.95
 
 
+def test_unify_samples_sorted_matches_argsort_path():
+    from tdgp.rendering.renderer import unify_samples, unify_samples_sorted
+    rng = np.random.RandomState(0)
+    d1 = jnp.asarray(np.sort(rng.rand(2, 8, 5), -1))
+    d2 = jnp.asarray(np.sort(rng.rand(2, 8, 7), -1))
+    c1 = jnp.asarray(rng.randn(2, 8, 5, 3))
+    c2 = jnp.asarray(rng.randn(2, 8, 7, 3))
+    s1 = jnp.asarray(rng.randn(2, 8, 5))
+    s2 = jnp.asarray(rng.randn(2, 8, 7))
+    ref = unify_samples(d1, c1, s1, d2, c2, s2)
+    out = unify_samples_sorted(d1, c1, s1, d2, c2, s2)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sample_pdf_stratified_sorted():
+    bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 9), (4, 9))
+    weights = jnp.asarray(np.random.RandomState(0).rand(4, 8))
+    s = np.asarray(sample_pdf(KEY, bins, weights, 16))
+    assert np.all(np.diff(s, axis=-1) >= -1e-6)  # sorted by construction
+
+
 def test_render_constant_density_matches_analytic_transmittance():
     sigma_val = 2.0
     color_val = 0.7
