@@ -18,7 +18,12 @@ import time
 import numpy as np
 
 import jax
-import jax.numpy as jnp
+
+# rbg PRNG: ~10x faster key expansion on TPU than threefry (stratified
+# jitter, density noise, patch/camera sampling are per-step RNG consumers)
+jax.config.update('jax_default_prng_impl', 'rbg')
+
+import jax.numpy as jnp  # noqa: E402
 
 ASSUMED_A100_IMGS_PER_SEC = 20.0
 

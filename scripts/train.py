@@ -13,6 +13,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 import numpy as np
 
+import jax
+
+# rbg PRNG: much faster per-step random sampling on TPU than threefry
+jax.config.update('jax_default_prng_impl', 'rbg')
+
 
 def main():
     ap = argparse.ArgumentParser()
