@@ -1,5 +1,9 @@
 #!/usr/bin/env python
-"""Find the fastest plane-gradient (scatter-add) formulation on this chip."""
+"""Find the fastest plane-gradient (scatter-add) formulation on this chip.
+
+Timing forces a host read of one output element per call — block_until_ready
+proved unreliable on tunneled rigs.
+"""
 import os
 import sys
 import time
@@ -12,18 +16,20 @@ import jax.numpy as jnp
 
 
 def timeit(fn, *args, iters=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    def sync(out):
+        leaf = jax.tree.leaves(out)[0]
+        return np.asarray(leaf).ravel()[0]
+
+    sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        s = sync(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 
 def main():
     n3, hw, f = 24, 512 * 512, 32
-    p = 131072  # points per plane-batch
+    p = 131072
     key = jax.random.PRNGKey(0)
     g = jax.random.normal(key, (n3, p, f))
     idx = jax.random.randint(key, (n3, p), 0, hw)
@@ -36,31 +42,14 @@ def main():
             jnp.take_along_axis(t, idx_[..., None], axis=1) * g_))(table)
 
     t = timeit(grad_batched, jnp.zeros((n3, hw, f)), idx, g)
-    print(f'1 batched take_along_axis grad:        {t*1e3:8.1f} ms')
-
-    @jax.jit
-    def grad_flat(table, i_, g_):
-        return jax.grad(lambda t: jnp.sum(jnp.take(t, i_, axis=0) * g_))(table)
-
-    t = timeit(grad_flat, jnp.zeros((n3 * hw, f)), gidx, gflat)
-    print(f'2 flat take grad:                      {t*1e3:8.1f} ms')
+    print(f'1 batched take_along_axis grad:        {t*1e3:8.1f} ms', flush=True)
 
     @jax.jit
     def scatter_direct(i_, vals):
         return jnp.zeros((n3 * hw, f)).at[i_].add(vals)
 
     t = timeit(scatter_direct, gidx, gflat)
-    print(f'3 flat .at[].add:                      {t*1e3:8.1f} ms')
-
-    @jax.jit
-    def scatter_sorted(i_, vals):
-        order = jnp.argsort(i_)
-        v = jnp.take(vals, order, axis=0)
-        si = jnp.take(i_, order, axis=0)
-        return jnp.zeros((n3 * hw, f)).at[si].add(v, indices_are_sorted=True)
-
-    t = timeit(scatter_sorted, gidx, gflat)
-    print(f'4 argsort + sorted-scatter:            {t*1e3:8.1f} ms')
+    print(f'3 flat .at[].add:                      {t*1e3:8.1f} ms', flush=True)
 
     from jax.ops import segment_sum
 
@@ -72,17 +61,23 @@ def main():
         return segment_sum(v, si, num_segments=n3 * hw, indices_are_sorted=True)
 
     t = timeit(seg, gidx, gflat)
-    print(f'5 argsort + segment_sum:               {t*1e3:8.1f} ms')
+    print(f'5 argsort + segment_sum:               {t*1e3:8.1f} ms', flush=True)
+
+    # grad of the real tri_plane_sample for comparison, same sync method
+    from tdgp.models.epigraf import tri_plane_sample
+    planes = jax.random.normal(key, (8, 512, 512, 3, f))
+    coords = jax.random.uniform(key, (8, p, 3), minval=-0.4, maxval=0.4)
 
     @jax.jit
-    def scatter_bf16(i_, vals):
-        return jnp.zeros((n3 * hw, f), jnp.bfloat16).at[i_].add(vals.astype(jnp.bfloat16))
+    def grad_tps(pl, co):
+        return jax.grad(lambda q: jnp.sum(tri_plane_sample(q, co, 0.5) ** 2))(pl)
 
-    t = timeit(scatter_bf16, gidx, gflat)
-    print(f'6 flat .at[].add bf16:                 {t*1e3:8.1f} ms')
+    t = timeit(grad_tps, planes, coords)
+    print(f'8 grad(tri_plane_sample):              {t*1e3:8.1f} ms', flush=True)
 
-    t = timeit(jax.jit(jnp.argsort), gidx)
-    print(f'7 argsort({n3*p}):                      {t*1e3:8.1f} ms')
+    # forward gather alone, same sync
+    t = timeit(jax.jit(lambda pl, co: tri_plane_sample(pl, co, 0.5)), planes, coords)
+    print(f'9 fwd(tri_plane_sample):               {t*1e3:8.1f} ms', flush=True)
 
 
 if __name__ == '__main__':

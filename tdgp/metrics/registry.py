@@ -55,7 +55,8 @@ class EvalContext:
     G: Any                      # Generator module
     g_vars: Dict[str, Any]      # EMA generator variables
     dataset: Any = None
-    detector: Optional[Callable] = None
+    detector: Optional[Callable] = None       # InceptionV3 for FID/KID/IS/PR
+    ppl_detector: Optional[Callable] = None   # VGG16 for PPL (falls back to detector)
     cache_dir: Optional[str] = None
     batch_size: int = 16
     _sampler: Optional[Callable] = None
@@ -240,7 +241,8 @@ def ppl2_wend(ctx: EvalContext) -> Dict[str, float]:
         return _pair(z0, z1, cond['c'], cam.angles, cam.fov, cam.radius,
                      cam.look_at, t)
 
-    value = compute_ppl(sample_pair, ctx.detector, num_samples=2048,
+    detector = ctx.ppl_detector or ctx.detector
+    value = compute_ppl(sample_pair, detector, num_samples=2048,
                         batch_size=ctx.batch_size, epsilon=epsilon)
     return {'ppl2_wend': value}
 
