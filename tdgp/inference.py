@@ -128,6 +128,11 @@ def canonical_cameras(cfg: Config, num: int, G=None, g_vars=None,
 # ----------------------------------------------------------------- rendering
 
 def make_synthesis_fn(G, g_vars, **synthesis_kwargs) -> Callable:
+    # eval ray chunking at high res (ref max_batch_res, model/3dgp.yaml:7)
+    mbr = G.cfg.max_batch_res
+    if 'ray_chunk' not in synthesis_kwargs and G.cfg.img_resolution > mbr:
+        synthesis_kwargs['ray_chunk'] = mbr * mbr
+
     @jax.jit
     def fn(ws, angles, fov, radius, look_at):
         cam = TensorGroup(angles=angles, fov=fov, radius=radius, look_at=look_at)

@@ -73,11 +73,15 @@ class EvalContext:
             cam = TensorGroup(angles=cam_angles, fov=cam_fov, radius=cam_radius,
                               look_at=cam_look_at)
 
+            mbr = cfg.generator.max_batch_res
+            chunk = mbr * mbr if cfg.generator.img_resolution > mbr else None
+
             def fwd(g):
                 ws = g.mapping(z, c, camera_angles=cam.angles, train=False)
                 cam_post = (g.synthesis.apply_camera_adaptor(cam, z, c)
                             if cfg.generator.camera_adaptor.enabled else cam)
-                return g.synthesis(ws, cam_post, train=False, noise_mode='const')
+                return g.synthesis(ws, cam_post, train=False, noise_mode='const',
+                                   ray_chunk=chunk)
 
             img = G.apply(g_vars, method=fwd)
             return to_uint8_images(img)
@@ -109,10 +113,14 @@ class EvalContext:
                 radius=jnp.repeat(mean_cam.radius, n, axis=0),
                 look_at=jnp.repeat(mean_cam.look_at, n, axis=0))
 
+            mbr = cfg.generator.max_batch_res
+            chunk = mbr * mbr if cfg.generator.img_resolution > mbr else None
+
             def fwd(g):
                 ws = g.mapping(z, c, camera_angles=cam.angles, train=False)
                 out = g.synthesis(ws, cam, train=False, noise_mode='const',
-                                  return_depth=True, cut_quantile=cut_quantile)
+                                  return_depth=True, cut_quantile=cut_quantile,
+                                  ray_chunk=chunk)
                 return out.depth
 
             return G.apply(g_vars, method=fwd)
