@@ -36,7 +36,15 @@ from tdgp.rendering.renderer import RenderOptions, importance_render
 from tdgp.utils.tensor_group import TensorGroup
 
 
-def tri_plane_sample(planes: jnp.ndarray, coords: jnp.ndarray, scale: float) -> jnp.ndarray:
+def flatten_planes(planes: jnp.ndarray) -> jnp.ndarray:
+    """[N, H, W, 3, F] -> [N*3, H, W, F]. A real 400MB data movement at the
+    full config — hoisted out of the (rematerialized) per-pass sampling so it
+    runs once per synthesis call, not once per pass per direction."""
+    n, h, w, _, f = planes.shape
+    return planes.transpose(0, 3, 1, 2, 4).reshape(n * 3, h, w, f)
+
+
+def tri_plane_sample(planes, coords: jnp.ndarray, scale: float) -> jnp.ndarray:
     """Sample 3 axis-aligned planes at 3D points and average them
     (ref tri_plane_renderer.py:560-585 + the MLP's plane-mean, networks_epigraf.py:54).
 
@@ -45,10 +53,13 @@ def tri_plane_sample(planes: jnp.ndarray, coords: jnp.ndarray, scale: float) -> 
     MLP is linear in its first layer, so mean-then-MLP == MLP-then-mean of
     the reference.
 
-    planes: [N, H, W, 3, F]; coords: [N, P, 3] world coords; scale: cube half-side.
-    Returns [N, P, F].
+    planes: [N, H, W, 3, F] or pre-flattened [N*3, H, W, F];
+    coords: [N, P, 3] world coords; scale: cube half-side. Returns [N, P, F].
     """
-    n, h, w, _, f = planes.shape
+    if planes.ndim == 5:
+        planes = flatten_planes(planes)
+    n3, h, w, f = planes.shape
+    n = n3 // 3
     p = coords.shape[1]
     coords = coords / scale
     # plane projections: x/y, x/z, y/z (ref :577-581)
@@ -57,8 +68,7 @@ def tri_plane_sample(planes: jnp.ndarray, coords: jnp.ndarray, scale: float) -> 
         coords[..., jnp.array([0, 2])],
         coords[..., jnp.array([1, 2])],
     ], axis=1)  # [N, 3, P, 2]
-    planes_flat = planes.transpose(0, 3, 1, 2, 4).reshape(n * 3, h, w, f)
-    feats = grid_sample_2d(planes_flat, grids.reshape(n * 3, p, 2), align_corners=True)
+    feats = grid_sample_2d(planes, grids.reshape(n * 3, p, 2), align_corners=True)
     return jnp.mean(feats.reshape(n, 3, p, f), axis=1)
 
 
@@ -171,7 +181,7 @@ class SynthesisNetwork(nn.Module):
                           else c.img_resolution)
         h = w = resolution
 
-        planes = self.decode_planes(ws, noise_mode=noise_mode)  # [N,H,W,3,F]
+        planes = flatten_planes(self.decode_planes(ws, noise_mode=noise_mode))
 
         c2w = compute_cam2world_matrix(camera_params)
         ray_o, ray_d = sample_rays(c2w, camera_params.fov, resolution=(w, h),
