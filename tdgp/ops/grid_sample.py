@@ -41,24 +41,31 @@ def grid_sample_2d(x: jnp.ndarray, coords: jnp.ndarray, align_corners: bool = Tr
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    def gather(yi, xi):
-        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-        xi_c = jnp.clip(xi, 0, W - 1)
-        yi_c = jnp.clip(yi, 0, H - 1)
-        flat = x.reshape(N, H * W, C)
-        idx = yi_c * W + xi_c  # [N, P]
-        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)  # [N, P, C]
-        return vals * valid[..., None].astype(x.dtype)
+    P = gx.shape[1]
+    flat = x.reshape(N, H * W, C)
 
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x0i + 1)
-    v10 = gather(y0i + 1, x0i)
-    v11 = gather(y0i + 1, x0i + 1)
+    def corner_idx(yi, xi):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        return jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1), valid
+
+    # ONE fused gather for all four corners (fewer gather ops pipeline better
+    # on TPU than four separate ones)
+    i00, m00 = corner_idx(y0i, x0i)
+    i01, m01 = corner_idx(y0i, x0i + 1)
+    i10, m10 = corner_idx(y0i + 1, x0i)
+    i11, m11 = corner_idx(y0i + 1, x0i + 1)
+    idx4 = jnp.concatenate([i00, i01, i10, i11], axis=1)            # [N, 4P]
+    vals4 = jnp.take_along_axis(flat, idx4[..., None], axis=1)      # [N, 4P, C]
+    v00, v01, v10, v11 = (vals4[:, :P], vals4[:, P:2 * P],
+                          vals4[:, 2 * P:3 * P], vals4[:, 3 * P:])
 
     tx = tx[..., None].astype(compute_dtype)
     ty = ty[..., None].astype(compute_dtype)
-    out = (v00 * (1 - tx) * (1 - ty) + v01 * tx * (1 - ty)
-           + v10 * (1 - tx) * ty + v11 * tx * ty)
+    w00 = (1 - tx) * (1 - ty) * m00[..., None]
+    w01 = tx * (1 - ty) * m01[..., None]
+    w10 = (1 - tx) * ty * m10[..., None]
+    w11 = tx * ty * m11[..., None]
+    out = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
     return out.astype(x.dtype)
 
 
