@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-UNROLL = 8
+UNROLL = int(os.environ.get('SPLAT_UNROLL', '128'))
 
 
 def make_kernel(n_entries, f):
@@ -26,8 +26,8 @@ def make_kernel(n_entries, f):
         def body(i, acc):
             base = i * UNROLL
             vals8 = vals_ref[pl.ds(base, UNROLL), :]          # [8, F]
-            idx8 = idx_ref[pl.ds(base, UNROLL)]               # [8] int32 (SMEM vec)
-            oh = (lane == idx8[:, None]).astype(jnp.float32)  # [8, 128]
+            idx8 = idx_ref[pl.ds(i, 1), :]                    # [1, 8] int32 (VMEM)
+            oh = (lane == idx8.reshape(UNROLL, 1)).astype(jnp.float32)  # [8, 128]
             return acc + jax.lax.dot_general(
                 vals8, oh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # [F, 128]
@@ -42,17 +42,18 @@ def make_kernel(n_entries, f):
             kernel,
             out_shape=jax.ShapeDtypeStruct((128, f), jnp.float32),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(idx, vals)
+        )(idx.reshape(-1, UNROLL), vals)
 
     return run
 
 
 def main():
-    n_entries, f = 65536, 32
+    n_entries = int(os.environ.get('SPLAT_ENTRIES', '65536'))
+    f = 32
     key = jax.random.PRNGKey(0)
     idx = jax.random.randint(key, (n_entries,), 0, 128, dtype=jnp.int32)
     vals = jax.random.normal(key, (n_entries, f))
