@@ -367,6 +367,22 @@ def satellite_config(c_dim: int = 0, resolution: int = 256) -> Config:
                   dataset=DatasetConfig(c_dim=c_dim, resolution=resolution))
 
 
+def stylegan2_config(c_dim: int = 0, resolution: int = 256) -> Config:
+    """2D StyleGAN2 baseline (ref configs/model/stylegan2.yaml): no depth, no
+    camera learning, path-length + style-mixing regularization on."""
+    gen = GeneratorConfig(c_dim=c_dim, img_resolution=resolution,
+                          depth_adaptor=DepthAdaptorCfg(enabled=False),
+                          camera_adaptor=CameraAdaptorCfg(enabled=False, c_dim=c_dim))
+    disc = DiscriminatorConfig(c_dim=c_dim, img_channels=3)
+    return Config(
+        model_name='stylegan2', generator=gen, discriminator=disc,
+        loss=LossConfig(pl_weight=2.0, style_mixing_prob=0.9,
+                        kd=KDCfg(weight=0.0)),
+        training=TrainingConfig(use_depth=False, learn_camera_dist=False),
+        dataset=DatasetConfig(c_dim=c_dim, resolution=resolution,
+                              use_embeddings=False))
+
+
 def tiny_test_config() -> Config:
     """A miniature config for unit tests / CI: everything shrunk."""
     cam = CameraConfig()

@@ -66,6 +66,7 @@ PRESETS = {
     'default': config_mod.Config,
     'imagenet': config_mod.imagenet_config,
     'satellite': config_mod.satellite_config,
+    'stylegan2': config_mod.stylegan2_config,
     'tiny': config_mod.tiny_test_config,
 }
 

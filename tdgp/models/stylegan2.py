@@ -242,7 +242,11 @@ class SynthesisBlocksSequence(nn.Module):
 
 
 class StyleGAN2Generator(nn.Module):
-    """Plain 2D StyleGAN2 baseline (ref networks_stylegan2.py:345-373)."""
+    """Plain 2D StyleGAN2 baseline (ref networks_stylegan2.py:345-373).
+
+    mapping/synthesis are separate submodules so the training step can reuse
+    ws (style mixing, PL reg) and extract patches from the full-resolution
+    image (ref networks_stylegan2.py:332-333)."""
     z_dim: int = 512
     c_dim: int = 0
     w_dim: int = 512
@@ -259,19 +263,21 @@ class StyleGAN2Generator(nn.Module):
     def num_ws(self) -> int:
         return sg2_num_ws(0, self.img_resolution)
 
-    @nn.compact
+    def setup(self):
+        self.mapping = MappingNetwork(z_dim=self.z_dim, c_dim=self.c_dim,
+                                      w_dim=self.w_dim, num_ws=self.num_ws,
+                                      num_layers=self.map_depth)
+        self.synthesis = SynthesisBlocksSequence(
+            w_dim=self.w_dim, in_resolution=0, out_resolution=self.img_resolution,
+            in_channels=0, out_channels=self.img_channels, cbase=self.cbase,
+            cmax=self.cmax, fmaps=self.fmaps, num_fp16_res=self.num_fp16_res,
+            fp32_only=self.fp32_only)
+
     def __call__(self, z: jnp.ndarray, c: Optional[jnp.ndarray],
                  truncation_psi: float = 1.0, truncation_cutoff: Optional[int] = None,
                  update_emas: bool = False, noise_mode: str = 'random',
                  train: bool = False) -> jnp.ndarray:
-        ws = MappingNetwork(z_dim=self.z_dim, c_dim=self.c_dim, w_dim=self.w_dim,
-                            num_ws=self.num_ws, num_layers=self.map_depth,
-                            name='mapping')(
-            z, c, truncation_psi=truncation_psi, truncation_cutoff=truncation_cutoff,
-            update_emas=update_emas, train=train)
-        img = SynthesisBlocksSequence(
-            w_dim=self.w_dim, in_resolution=0, out_resolution=self.img_resolution,
-            in_channels=0, out_channels=self.img_channels, cbase=self.cbase,
-            cmax=self.cmax, fmaps=self.fmaps, num_fp16_res=self.num_fp16_res,
-            fp32_only=self.fp32_only, name='synthesis')(ws, noise_mode=noise_mode)
-        return img
+        ws = self.mapping(z, c, truncation_psi=truncation_psi,
+                          truncation_cutoff=truncation_cutoff,
+                          update_emas=update_emas, train=train)
+        return self.synthesis(ws, noise_mode=noise_mode)

@@ -86,6 +86,48 @@ def apply_camera_adaptor(G: Generator, g_vars, camera_params, z, c):
     return G.apply(g_vars, method=lambda g: g.synthesis.apply_camera_adaptor(camera_params, z, c))
 
 
+def g_forward_2d(G, g_vars, z, c, sched: Schedules, rng, cfg: Config,
+                 update_emas: bool = False):
+    """2D StyleGAN2 baseline forward: full-res synthesis, then patch
+    extraction from the image (ref networks_stylegan2.py:332-333, the
+    model=stylegan2 baseline). Returns (out TensorGroup(img, ws),
+    patch_params, updated ema vars or None)."""
+    k_patch, k_noise, k_mix = jax.random.split(rng, 3)
+    patch_params = None
+
+    def fwd(g):
+        ws = g.mapping(z, c, update_emas=update_emas, train=True)
+        if cfg.loss.style_mixing_prob > 0:
+            k_cut, k_p, k_z2 = jax.random.split(k_mix, 3)
+            num_ws = ws.shape[1]
+            cutoff = jax.random.randint(k_cut, (), 1, num_ws)
+            cutoff = jnp.where(jax.random.uniform(k_p, ()) < cfg.loss.style_mixing_prob,
+                               cutoff, num_ws)
+            ws2 = g.mapping(jax.random.normal(k_z2, z.shape, z.dtype), c,
+                            update_emas=False, train=True)
+            idx = jnp.arange(num_ws)[None, :, None]
+            ws = jnp.where(idx >= cutoff, ws2, ws)
+        img = g.synthesis(ws, noise_mode='random')
+        out = TensorGroup(img=img)
+        out.ws = ws
+        return out
+
+    rngs = {'noise': k_noise}
+    if update_emas:
+        out, new_vars = G.apply(g_vars, method=fwd, rngs=rngs, mutable=['ema'])
+        ema = new_vars['ema']
+    else:
+        out = G.apply(g_vars, method=fwd, rngs=rngs)
+        ema = None
+
+    if cfg.generator.patch.enabled:
+        patch_params = sample_patch_params(k_patch, z.shape[0], cfg.generator.patch,
+                                           min_scale=sched.patch_min_scale,
+                                           beta=sched.patch_beta)
+        out.img = extract_patches(out.img, patch_params, cfg.generator.patch.resolution)
+    return out, patch_params, ema
+
+
 # --------------------------------------------------------------- D forward
 
 def d_forward(D: Discriminator, d_vars, img, c, sched: Schedules, cfg: Config,

@@ -60,8 +60,20 @@ def ema_variables(state: TrainState) -> Dict[str, Any]:
     return {'params': state.ema_params, 'consts': state.g_consts, 'ema': state.ema_ema_coll}
 
 
-def build_models(cfg: Config) -> Tuple[Generator, Discriminator]:
-    return Generator(cfg.generator), Discriminator(cfg.discriminator)
+def build_models(cfg: Config):
+    """Model dispatch (ref train.py:198-228): '3dgp'/'epigraf' -> tri-plane
+    Generator; 'stylegan2' -> the 2D baseline."""
+    if cfg.model_name == 'stylegan2':
+        from tdgp.models.stylegan2 import StyleGAN2Generator
+        gc = cfg.generator
+        G = StyleGAN2Generator(
+            z_dim=gc.z_dim, c_dim=gc.c_dim, w_dim=gc.w_dim,
+            img_resolution=gc.img_resolution, img_channels=gc.img_channels,
+            map_depth=gc.map_depth, cbase=gc.cbase, cmax=gc.cmax, fmaps=gc.fmaps,
+            num_fp16_res=gc.num_fp16_res, fp32_only=gc.fp32_only)
+    else:
+        G = Generator(cfg.generator)
+    return G, Discriminator(cfg.discriminator)
 
 
 def make_optimizers(cfg: Config):
@@ -94,15 +106,18 @@ def create_train_state(cfg: Config, seed: int = 0,
     c = jnp.zeros((n, gc.c_dim)) if gc.c_dim > 0 else None
     cam = sample_camera_params(jax.random.PRNGKey(0), asdict(cfg.camera), n)
 
-    def init_fwd(g: Generator):
-        # exercise every submodule so all params materialize (flax setup is lazy)
-        ws = g.mapping(z, c, camera_angles=cam.angles, train=True)
-        cam_post = (g.synthesis.apply_camera_adaptor(cam, z, c)
-                    if gc.camera_adaptor.enabled else cam)
-        return g.synthesis(ws, cam_post, train=True,
-                           concat_depth=cfg.training.use_depth)
+    if cfg.model_name == 'stylegan2':
+        g_vars = G.init(init_rngs(seed), z, c, train=True)
+    else:
+        def init_fwd(g: Generator):
+            # exercise every submodule so all params materialize (setup is lazy)
+            ws = g.mapping(z, c, camera_angles=cam.angles, train=True)
+            cam_post = (g.synthesis.apply_camera_adaptor(cam, z, c)
+                        if gc.camera_adaptor.enabled else cam)
+            return g.synthesis(ws, cam_post, train=True,
+                               concat_depth=cfg.training.use_depth)
 
-    g_vars = G.init(init_rngs(seed), method=init_fwd)
+        g_vars = G.init(init_rngs(seed), method=init_fwd)
     d_res = cfg.discriminator.input_resolution
     d_img = jnp.zeros((n, d_res, d_res, cfg.discriminator.img_channels))
     pp = {'scales': jnp.ones((n, 2)), 'offsets': jnp.zeros((n, 2))}
@@ -149,6 +164,7 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
     do_kd = cfg.loss.kd.weight > 0
     adv = cfg.loss.adv_loss_type
     clamp = cfg.discriminator.logits_clamp_val
+    is_2d = cfg.model_name == 'stylegan2'
 
     augment_pipe = None
     if cfg.training.augment.mode != 'noaug':
@@ -182,8 +198,13 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
 
         def g_loss_fn(g_params):
             g_vars = {'params': g_params, 'consts': state.g_consts, 'ema': state.g_ema_coll}
-            out, patch_params, cam_post, _ = losses.g_forward(
-                G, g_vars, zg, cg, camg, condg, sched, k_gfwd, cfg)
+            if is_2d:
+                out, patch_params, _ = losses.g_forward_2d(
+                    G, g_vars, zg, cg, sched, k_gfwd, cfg)
+                cam_post = camg
+            else:
+                out, patch_params, cam_post, _ = losses.g_forward(
+                    G, g_vars, zg, cg, camg, condg, sched, k_gfwd, cfg)
             logits, _ = losses.d_forward(
                 D, {'params': state.d_params}, out.img, cg, sched, cfg,
                 patch_params=patch_params, camera_angles=cam_post.angles,
@@ -194,7 +215,7 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
                    'Loss/signs/fake': jnp.mean(jnp.sign(logits))}
             total = loss_gmain
             acfg = cfg.generator.camera_adaptor
-            if cfg.training.learn_camera_dist:
+            if cfg.training.learn_camera_dist and not is_2d:
                 k_emd, k_fm, k_lip = jax.random.split(k_reg, 3)
                 if acfg.emd.enabled:
                     emd, emd_stats = losses.camera_emd_reg(G, g_vars, sched, k_emd, cfg)
@@ -232,10 +253,13 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
                           'ema': state.g_ema_coll}
                 rngs = {'noise': k_pl_fwd, 'render': k_pl_fwd, 'depth': k_pl_fwd,
                         'dropout': k_pl_fwd}
-                ws = G.apply(g_vars, method=lambda g: g.mapping(
-                    zp, cp, camera_angles=condp, train=True))
+                if is_2d:
+                    ws = G.apply(g_vars, method=lambda g: g.mapping(zp, cp, train=True))
+                else:
+                    ws = G.apply(g_vars, method=lambda g: g.mapping(
+                        zp, cp, camera_angles=condp, train=True))
                 cam_post = camp
-                if cfg.training.learn_camera_dist:
+                if cfg.training.learn_camera_dist and not is_2d:
                     cam_post = G.apply(g_vars, method=lambda g:
                                        g.synthesis.apply_camera_adaptor(camp, zp, cp))
                 pp = None
@@ -245,6 +269,12 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
                                              beta=sched.patch_beta)
 
                 def synth(w):
+                    if is_2d:
+                        img = G.apply(g_vars, method=lambda g: g.synthesis(
+                            w, noise_mode='random'), rngs=rngs)
+                        if pp is not None:
+                            img = extract_patches(img, pp, cfg.generator.patch.resolution)
+                        return img
                     out = G.apply(g_vars, method=lambda g: g.synthesis(
                         w, cam_post, pp, train=True,
                         nerf_noise_std=sched.nerf_noise_std,
@@ -279,8 +309,13 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
         # reference which steps G before D in its phase list); w_avg EMA
         # updates here (ref loss.py:260 update_emas=True).
         new_g_vars = {'params': g_params, 'consts': state.g_consts, 'ema': state.g_ema_coll}
-        fake_out, fake_patch_params, cam_post_d, new_ema_coll = losses.g_forward(
-            G, new_g_vars, zd, cd, camd, condd, sched, k_dg, cfg, update_emas=True)
+        if is_2d:
+            fake_out, fake_patch_params, new_ema_coll = losses.g_forward_2d(
+                G, new_g_vars, zd, cd, sched, k_dg, cfg, update_emas=True)
+            cam_post_d = camd
+        else:
+            fake_out, fake_patch_params, cam_post_d, new_ema_coll = losses.g_forward(
+                G, new_g_vars, zd, cd, camd, condd, sched, k_dg, cfg, update_emas=True)
         fake_img = jax.lax.stop_gradient(fake_out.img)
         fake_angles = jax.lax.stop_gradient(cam_post_d.angles)
 
