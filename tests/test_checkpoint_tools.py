@@ -1,0 +1,65 @@
+"""Checkpoint discovery / best-metric selection / GC plumbing (no jit)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from tdgp import checkpoint as ckpt
+
+REPO = os.path.join(os.path.dirname(__file__), '..')
+
+
+def make_snap(run_dir, kimg):
+    path = ckpt.snapshot_path(str(run_dir), kimg)
+    os.makedirs(path)
+    with open(path + '.meta.json', 'w') as f:
+        json.dump({'cur_nimg': kimg * 1000}, f)
+    return path
+
+
+def test_list_and_resolve(tmp_path):
+    p1 = make_snap(tmp_path, 4)
+    p2 = make_snap(tmp_path, 12)
+    snaps = ckpt.list_snapshots(str(tmp_path))
+    assert [k for k, _ in snaps] == [4, 12]
+    assert ckpt.resolve_resume(str(tmp_path), 'latest') == p2
+    assert ckpt.resolve_resume(str(tmp_path), 'none') is None
+    assert ckpt.resolve_resume(str(tmp_path), p1) == p1
+
+
+def test_find_best_checkpoint_by_metric_jsonl(tmp_path):
+    p4 = make_snap(tmp_path, 4)
+    p8 = make_snap(tmp_path, 8)
+    p12 = make_snap(tmp_path, 12)
+    with open(os.path.join(tmp_path, 'metric-fid2k_full.jsonl'), 'w') as f:
+        for kimg, fid in [(4, 30.0), (8, 12.5), (12, 20.0)]:
+            f.write(json.dumps({'metric': 'fid2k_full',
+                                'results': {'fid2k_full': fid},
+                                'snapshot': f'{kimg:06d}'}) + '\n')
+    assert ckpt.find_best_checkpoint(str(tmp_path), 'fid2k_full') == p8
+    # without the jsonl -> latest
+    assert ckpt.find_best_checkpoint(str(tmp_path), 'nonexistent') == p12
+
+
+def test_delete_snapshot(tmp_path):
+    p = make_snap(tmp_path, 4)
+    ckpt.delete_snapshot(p)
+    assert not os.path.exists(p)
+    assert not os.path.exists(p + '.meta.json')
+
+
+def test_launcher_print_only(tmp_path):
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS='cpu')
+    out = subprocess.run(
+        [sys.executable, '-m', 'tdgp.infra.launch', '--preset', 'tiny',
+         '--print-only', '--allow-dirty', '--run-root', str(tmp_path)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=240)
+    assert out.returncode == 0, out.stderr[-500:]
+    assert 'Run dir:' in out.stdout
+    run_dirs = os.listdir(tmp_path)
+    assert len(run_dirs) == 1
+    run_dir = os.path.join(tmp_path, run_dirs[0])
+    assert os.path.exists(os.path.join(run_dir, 'experiment_config.yaml'))
+    assert os.path.exists(os.path.join(run_dir, 'training_cmd.sh'))
