@@ -104,3 +104,21 @@ def delete_snapshot(path: str) -> None:
     meta = path + '.meta.json'
     if os.path.exists(meta):
         os.remove(meta)
+
+
+def variables_from_flat(flat) -> dict:
+    """'col/a/b/leaf' -> nested flax variables dict (jnp leaves).
+
+    Inverse of scripts/convert_torch_ckpt.py's flat layout; used to load
+    reference-converted weights for parity evaluation (BASELINE.md config[0],
+    ref scripts/utils.py:150-204 load_generator counterpart).
+    """
+    import jax.numpy as jnp
+    tree: dict = {}
+    for key in flat.keys() if hasattr(flat, 'keys') else flat.files:
+        parts = key.split('/')
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(flat[key])
+    return tree

@@ -207,6 +207,9 @@ class GeneratorConfig:
     patch: PatchCfg = PatchCfg()
     white_back: bool = False
     last_back: bool = False
+    # tri-plane sampling implementation: 'auto' selects the Pallas splat
+    # backward (tdgp/ops/splat.py) on TPU, pure-jnp elsewhere
+    plane_sample_impl: str = 'auto'
 
 
 @dataclass(frozen=True)

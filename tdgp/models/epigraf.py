@@ -30,6 +30,7 @@ from tdgp.models.depth_adaptor import DepthAdaptor
 from tdgp.models.layers import FullyConnected, MappingNetwork
 from tdgp.models.stylegan2 import SynthesisBlocksSequence, sg2_num_ws
 from tdgp.ops.grid_sample import grid_sample_2d
+from tdgp.ops.splat import triplane_sample_fused
 from tdgp.rendering.camera import compute_cam2world_matrix
 from tdgp.rendering.rays import sample_rays
 from tdgp.rendering.renderer import RenderOptions, importance_render
@@ -44,7 +45,8 @@ def flatten_planes(planes: jnp.ndarray) -> jnp.ndarray:
     return planes.transpose(0, 3, 1, 2, 4).reshape(n * 3, h, w, f)
 
 
-def tri_plane_sample(planes, coords: jnp.ndarray, scale: float) -> jnp.ndarray:
+def tri_plane_sample(planes, coords: jnp.ndarray, scale: float,
+                     impl: str = 'jnp') -> jnp.ndarray:
     """Sample 3 axis-aligned planes at 3D points and average them
     (ref tri_plane_renderer.py:560-585 + the MLP's plane-mean, networks_epigraf.py:54).
 
@@ -61,6 +63,16 @@ def tri_plane_sample(planes, coords: jnp.ndarray, scale: float) -> jnp.ndarray:
     n3, h, w, f = planes.shape
     n = n3 // 3
     p = coords.shape[1]
+    # impl: 'jnp' (XLA gather + autodiff scatter VJP), 'fused' (Pallas splat
+    # backward, tdgp/ops/splat.py — ~7x faster grad on TPU), or 'auto'
+    # (fused on TPU when the plane shape satisfies the kernel's tiling).
+    if impl == 'auto':
+        on_tpu = jax.default_backend() in ('tpu', 'axon')
+        impl = 'fused' if (on_tpu and w % 128 == 0 and h % 2 == 0) else 'jnp'
+    if impl in ('fused', 'fused_interpret'):
+        return triplane_sample_fused(planes, coords, scale,
+                                     impl == 'fused_interpret')
+    assert impl == 'jnp', impl
     coords = coords / scale
     # plane projections: x/y, x/z, y/z (ref :577-581)
     grids = jnp.stack([
@@ -155,7 +167,8 @@ class SynthesisNetwork(nn.Module):
         """Density at arbitrary points, for geometry extraction
         (ref networks_epigraf.py:196-208). coords: [N, P, 3] -> sigma [N, P]."""
         planes = self.decode_planes(ws, noise_mode=noise_mode)
-        feats = tri_plane_sample(planes, coords, scale=self.cfg.camera.cube_scale)
+        feats = tri_plane_sample(planes, coords, scale=self.cfg.camera.cube_scale,
+                                 impl=self.cfg.plane_sample_impl)
         _, sigma = self.tri_plane_mlp(feats)
         return sigma
 
@@ -192,7 +205,8 @@ class SynthesisNetwork(nn.Module):
         # storing activations for every ray sample (two passes x 64 steps) —
         # trades cheap FLOPs for the dominant HBM cost of training.
         def _run(mlp, planes_, coords):
-            feats = tri_plane_sample(planes_, coords, scale=c.camera.cube_scale)
+            feats = tri_plane_sample(planes_, coords, scale=c.camera.cube_scale,
+                                     impl=c.plane_sample_impl)
             return mlp(feats)
 
         _run_remat = nn.remat(_run)

@@ -1,0 +1,352 @@
+"""Fused tri-plane sampling with a Pallas splat kernel for the plane gradient.
+
+Counterpart of the reference's tri-plane feature lookup
+(src/training/tri_plane_renderer.py:577-585, F.grid_sample align_corners=True)
+and — crucially — of its CUDA grid_sample *backward*: on TPU, XLA lowers the
+gather VJP to a serialized scatter-add costing ~3.2 s of the 6.6 s train step
+(docs/DESIGN.md performance ledger). This module replaces that scatter with a
+sort + MXU one-hot accumulation kernel.
+
+Design (probe-validated in scripts/testing/probe_onehot_splat2.py and
+probe_sort_carry.py):
+
+  forward   : the measured-fastest XLA path — ONE flat gather for all four
+              bilinear corners of all three planes, weighted sum, plane mean.
+  backward  : d/d planes is a scatter of E = N*3*P weighted rows into the
+              [N*3*H*W, F] plane table. We reformulate it as dense matmuls:
+                1. build one entry per (plane, point): value row v = g/3 and
+                   bilinear corner weights remapped onto a 2-row window
+                2. sort entries by "window" = (plane, row-pair). A point's 4
+                   corners span exactly 2 adjacent texel rows, so windows of
+                   2 full rows x W texels capture all corners; two window
+                   families (pairs starting at even / odd rows) cover both
+                   point parities. argsort + row-take of the packed entries
+                   measures ~126 ms at production size (probe_sort_carry).
+                3. a Pallas kernel walks a (chunk, window) worklist: for each
+                   item it builds weighted bilinear one-hot matrices [K, W]
+                   on the VPU and accumulates vals^T @ onehot into the
+                   resident [F, 2W] window block on the MXU. Output blocks
+                   stay in VMEM across consecutive grid steps with the same
+                   scalar-prefetched index (standard Pallas revisiting rule),
+                   so each window is zeroed once and accumulated in place.
+              d/d coords falls out of the saved corner values (elementwise).
+
+The one-hot MXU trick: scatter-add of rows v_e into texel columns t_e equals
+(one_hot(t) * w)^T summed against v — a matmul. XLA's scatter runs at
+~40 us/row; the matmul form runs at ~10 ns/entry (probe_onehot_splat2.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# plane projections: x/y, x/z, y/z (ref tri_plane_renderer.py:577-581)
+_PROJ = ((0, 1), (0, 2), (1, 2))
+
+_CHUNK = 512  # entries per kernel chunk (tuned on v5e; see probe ledger)
+
+
+# --------------------------------------------------------------------- prep
+
+def _pixel_coords(coords: jnp.ndarray, scale: float, H: int, W: int):
+    """World coords [N, P, 3] -> per-plane pixel coords gx, gy [N3, P]."""
+    n, p, _ = coords.shape
+    c = coords / scale
+    g2 = jnp.stack([c[..., jnp.array(pr)] for pr in _PROJ], axis=1)  # [N,3,P,2]
+    g2 = g2.reshape(n * 3, p, 2)
+    # align_corners=True unnormalize (matches ops/grid_sample.py)
+    gx = (g2[..., 0] + 1.0) * 0.5 * (W - 1)
+    gy = (g2[..., 1] + 1.0) * 0.5 * (H - 1)
+    return gx, gy
+
+
+def _corner_meta(gx: jnp.ndarray, gy: jnp.ndarray, H: int, W: int):
+    """Bilinear corner integer coords, fractions and validity-masked weights."""
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    tx = gx - x0
+    ty = gy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def valid(yi, xi):
+        return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(gx.dtype)
+
+    m00 = valid(y0i, x0i)
+    m01 = valid(y0i, x0i + 1)
+    m10 = valid(y0i + 1, x0i)
+    m11 = valid(y0i + 1, x0i + 1)
+    w00 = (1 - tx) * (1 - ty) * m00
+    w01 = tx * (1 - ty) * m01
+    w10 = (1 - tx) * ty * m10
+    w11 = tx * ty * m11
+    return x0i, y0i, tx, ty, (m00, m01, m10, m11), (w00, w01, w10, w11)
+
+
+def _window_meta(y0i: jnp.ndarray, ws: Tuple[jnp.ndarray, ...], H: int,
+                 n3: int, pid: jnp.ndarray):
+    """Remap a point's 2 corner rows onto its 2-row window.
+
+    Window families: parity A = row pairs (2q, 2q+1), parity B = (2q+1, 2q+2).
+    A point touching rows (y0, y0+1) lands in exactly one family (by parity
+    of its clipped top row). Returns the global window key and the 4 weights
+    re-expressed as (window_row0, window_row1) x (x0, x0+1) coefficients.
+    """
+    w00, w01, w10, w11 = ws
+    hp = H // 2
+    ytop = jnp.clip(y0i, 0, H - 2)
+    sh = ytop - y0i  # 0: rows align; +1: y0=-1 (top corner invalid); -1: y0=H-1
+    zeros = jnp.zeros_like(w00)
+    a00 = jnp.where(sh == 0, w00, jnp.where(sh == 1, w10, zeros))
+    a01 = jnp.where(sh == 0, w01, jnp.where(sh == 1, w11, zeros))
+    a10 = jnp.where(sh == 0, w10, jnp.where(sh == -1, w00, zeros))
+    a11 = jnp.where(sh == 0, w11, jnp.where(sh == -1, w01, zeros))
+    parity = ytop & 1
+    nwa = n3 * hp
+    key = parity * nwa + pid * hp + (ytop >> 1)
+    return key.astype(jnp.int32), (a00, a01, a10, a11)
+
+
+# ------------------------------------------------------------------- kernel
+
+def _splat_kernel(chunk_ref, key_ref, first_ref, ent_ref, out_ref, *, F: int,
+                  W: int):
+    j = pl.program_id(0)
+    w_id = key_ref[j]
+
+    @pl.when(first_ref[j] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ent = ent_ref[:]                      # [K, F+6]
+    vals = ent[:, :F]                     # [K, F]
+    ekey = ent[:, F:F + 1]                # [K, 1] window key as float (exact)
+    x0f = ent[:, F + 1:F + 2]             # [K, 1]
+    a00 = ent[:, F + 2:F + 3]
+    a01 = ent[:, F + 3:F + 4]
+    a10 = ent[:, F + 4:F + 5]
+    a11 = ent[:, F + 5:F + 6]
+
+    k = ent.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, W), 1)
+    x0 = x0f.astype(jnp.int32)                      # exact: |x0| < 2^23
+    c0 = (col == x0).astype(jnp.float32)            # [K, W]
+    c1 = (col == x0 + 1).astype(jnp.float32)
+    match = (ekey.astype(jnp.int32) == w_id).astype(jnp.float32)    # [K, 1]
+    oh_top = (a00 * c0 + a01 * c1) * match
+    oh_bot = (a10 * c0 + a11 * c1) * match
+
+    dn = (((0,), (0,)), ((), ()))
+    top = jax.lax.dot_general(vals, oh_top, dn, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    bot = jax.lax.dot_general(vals, oh_bot, dn, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    out_ref[0, :, :W] += top
+    out_ref[0, :, W:] += bot
+
+
+def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
+                 n_windows: int, F: int, W: int, interpret: bool) -> jnp.ndarray:
+    """Run the worklist kernel. packed_sorted: [Epad, F+6] sorted by key.
+
+    Returns the window table [n_windows + 1, F, 2W] (last row = scratch
+    window that absorbs padding entries).
+    """
+    epad = packed_sorted.shape[0]
+    k = _CHUNK
+    n_chunks = epad // k
+    # one worklist item per (chunk, key) run; every window is visited at
+    # least once thanks to the synthetic coverage entries added by the caller
+    L = n_chunks + n_windows + 2
+
+    prev = jnp.concatenate([keys_sorted[:1] - 1, keys_sorted[:-1]])
+    flag = (keys_sorted != prev) | ((jnp.arange(epad, dtype=jnp.int32) % k) == 0)
+    starts = jnp.nonzero(flag, size=L, fill_value=epad)[0].astype(jnp.int32)
+    is_pad = starts >= epad
+    item_key = jnp.where(is_pad, n_windows,
+                         keys_sorted[jnp.minimum(starts, epad - 1)])
+    item_chunk = jnp.minimum(starts // k, n_chunks - 1).astype(jnp.int32)
+    prev_key = jnp.concatenate([item_key[:1] - 1, item_key[:-1]])
+    first = (item_key != prev_key).astype(jnp.int32)
+
+    lanes = packed_sorted.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((k, lanes), lambda j, ci, ki, fi: (ci[j], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, F, 2 * W), lambda j, ci, ki, fi: (ki[j], 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_splat_kernel, F=F, W=W),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_windows + 1, F, 2 * W), jnp.float32),
+        interpret=interpret,
+    )(item_chunk, item_key, first, packed_sorted)
+
+
+def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
+                   n3: int, H: int, W: int, interpret: bool = False) -> jnp.ndarray:
+    """Adjoint of the tri-plane bilinear gather.
+
+    g_pts:  [N3, P, F] cotangent rows per (plane, point)
+    coords: [N, P, 3] world coordinates
+    Returns g_planes [N3, H, W, F].
+    """
+    assert H % 2 == 0 and W % 128 == 0, (H, W)
+    _, P, F = g_pts.shape
+    gx, gy = _pixel_coords(coords, scale, H, W)
+    x0i, y0i, _tx, _ty, _ms, ws = _corner_meta(gx, gy, H, W)
+    pid = jnp.broadcast_to(jnp.arange(n3, dtype=jnp.int32)[:, None], (n3, P))
+    key, avec = _window_meta(y0i, ws, H, n3, pid)
+
+    E = n3 * P
+    hp = H // 2
+    n_windows = 2 * n3 * hp
+    f32 = jnp.float32
+    packed = jnp.concatenate([
+        g_pts.reshape(E, F).astype(f32),
+        key.reshape(E, 1).astype(f32),
+        x0i.reshape(E, 1).astype(f32),
+        avec[0].reshape(E, 1).astype(f32),
+        avec[1].reshape(E, 1).astype(f32),
+        avec[2].reshape(E, 1).astype(f32),
+        avec[3].reshape(E, 1).astype(f32),
+    ], axis=1)
+    keys = key.reshape(E)
+
+    # synthetic zero-weight coverage entries: every window (incl. the scratch
+    # window) is visited at least once, so the kernel zero-initializes the
+    # whole table and no block is left uninitialized
+    n_cov = n_windows + 1
+    epad = -(-(E + n_cov) // _CHUNK) * _CHUNK
+    n_extra = epad - E
+    extra_keys = jnp.minimum(jnp.arange(n_extra, dtype=jnp.int32), n_windows)
+    extra = jnp.zeros((n_extra, F + 6), dtype=f32)
+    extra = extra.at[:, F].set(extra_keys.astype(f32))
+    packed = jnp.concatenate([packed, extra], axis=0)
+    keys = jnp.concatenate([keys, extra_keys], axis=0)
+
+    perm = jnp.argsort(keys)
+    keys_sorted = keys[perm]
+    packed_sorted = jnp.take(packed, perm, axis=0)
+
+    table = _splat_table(packed_sorted, keys_sorted, n_windows, F, W, interpret)
+
+    nwa = n3 * hp
+    A = table[:nwa].reshape(n3, hp, F, 2, W).transpose(0, 1, 3, 4, 2)
+    A = A.reshape(n3, H, W, F)
+    B = table[nwa:n_windows].reshape(n3, hp, F, 2, W).transpose(0, 1, 3, 4, 2)
+    B = B.reshape(n3, H, W, F)
+    # family-B flat row i is absolute row i+1
+    return A.at[:, 1:].add(B[:, :H - 1])
+
+
+def triplane_splat_ref(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
+                       n3: int, H: int, W: int) -> jnp.ndarray:
+    """Pure-XLA scatter-add reference (the slow path the kernel replaces)."""
+    _, P, F = g_pts.shape
+    gx, gy = _pixel_coords(coords, scale, H, W)
+    x0i, y0i, _tx, _ty, _ms, ws = _corner_meta(gx, gy, H, W)
+    flat = jnp.zeros((n3 * H * W, F), jnp.float32)
+    base = jnp.arange(n3, dtype=jnp.int32)[:, None] * (H * W)
+    for (dy, dx), w in zip(((0, 0), (0, 1), (1, 0), (1, 1)), ws):
+        yi = jnp.clip(y0i + dy, 0, H - 1)
+        xi = jnp.clip(x0i + dx, 0, W - 1)
+        idx = (base + yi * W + xi).reshape(-1)
+        flat = flat.at[idx].add((w[..., None] * g_pts).reshape(-1, F))
+    return flat.reshape(n3, H, W, F)
+
+
+# ------------------------------------------------- fused sample (custom VJP)
+
+def _sample_fwd_impl(planes_flat: jnp.ndarray, coords: jnp.ndarray, scale: float):
+    """Forward gather: flat single-table 4-corner gather + plane mean
+    (the measured-fastest XLA form, see ops/grid_sample.py notes)."""
+    n3, H, W, F = planes_flat.shape
+    n = n3 // 3
+    P = coords.shape[1]
+    gx, gy = _pixel_coords(coords, scale, H, W)
+    x0i, y0i, _tx, _ty, _ms, ws = _corner_meta(gx, gy, H, W)
+
+    flat = planes_flat.reshape(n3 * H * W, F)
+    base = (jnp.arange(n3, dtype=jnp.int32) * (H * W))[:, None]
+
+    def cidx(dy, dx):
+        yi = jnp.clip(y0i + dy, 0, H - 1)
+        xi = jnp.clip(x0i + dx, 0, W - 1)
+        return yi * W + xi + base
+
+    idx4 = jnp.concatenate([cidx(0, 0), cidx(0, 1), cidx(1, 0), cidx(1, 1)],
+                           axis=1)                                   # [N3, 4P]
+    vals4 = jnp.take(flat, idx4.reshape(-1), axis=0).reshape(n3, 4, P, F)
+
+    feats = (ws[0][..., None] * vals4[:, 0] + ws[1][..., None] * vals4[:, 1]
+             + ws[2][..., None] * vals4[:, 2] + ws[3][..., None] * vals4[:, 3])
+    out = jnp.mean(feats.reshape(n, 3, P, F), axis=1)
+    return out.astype(planes_flat.dtype), vals4
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def triplane_sample_fused(planes_flat: jnp.ndarray, coords: jnp.ndarray,
+                          scale: float, interpret: bool = False) -> jnp.ndarray:
+    """Tri-plane sampling with a Pallas splat backward.
+
+    planes_flat: [N*3, H, W, F]; coords: [N, P, 3] world coords.
+    Returns plane-mean features [N, P, F] (== tri_plane_sample).
+    """
+    out, _ = _sample_fwd_impl(planes_flat, coords, scale)
+    return out
+
+
+def _sample_fwd(planes_flat, coords, scale, interpret):
+    out, vals4 = _sample_fwd_impl(planes_flat, coords, scale)
+    return out, (vals4, coords, planes_flat.shape)
+
+
+def _sample_bwd(scale, interpret, res, g):
+    vals4, coords, (n3, H, W, F) = res
+    n = n3 // 3
+    P = coords.shape[1]
+    gx, gy = _pixel_coords(coords, scale, H, W)
+    _x0i, _y0i, tx, ty, ms, _ws = _corner_meta(gx, gy, H, W)
+
+    # cotangent per (plane, point) row: mean over 3 planes -> /3
+    gp = jnp.broadcast_to((g / 3.0)[:, None], (n, 3, P, F)).reshape(n3, P, F)
+    gp = gp.astype(jnp.float32)
+
+    # --- d/d coords (elementwise over the saved corner values)
+    m00, m01, m10, m11 = ms
+    v00, v01, v10, v11 = (vals4[:, 0], vals4[:, 1], vals4[:, 2], vals4[:, 3])
+    one = jnp.float32(1.0)
+    dtx = jnp.sum(gp * ((one - ty)[..., None] * (m01[..., None] * v01 - m00[..., None] * v00)
+                        + ty[..., None] * (m11[..., None] * v11 - m10[..., None] * v10)),
+                  axis=-1)                                           # [N3, P]
+    dty = jnp.sum(gp * ((one - tx)[..., None] * (m10[..., None] * v10 - m00[..., None] * v00)
+                        + tx[..., None] * (m11[..., None] * v11 - m01[..., None] * v01)),
+                  axis=-1)
+    # chain: gx = (c/scale + 1) * 0.5 * (W-1)
+    dgx = dtx * (0.5 * (W - 1) / scale)
+    dgy = dty * (0.5 * (H - 1) / scale)
+    dgx = dgx.reshape(n, 3, P)
+    dgy = dgy.reshape(n, 3, P)
+    g_coords = jnp.stack([
+        dgx[:, 0] + dgx[:, 1],          # x: plane xy + plane xz
+        dgy[:, 0] + dgx[:, 2],          # y: plane xy + plane yz
+        dgy[:, 1] + dgy[:, 2],          # z: plane xz + plane yz
+    ], axis=-1).astype(coords.dtype)    # [N, P, 3]
+
+    # --- d/d planes via the Pallas splat
+    g_planes = triplane_splat(gp, coords, scale, n3, H, W, interpret=interpret)
+    return g_planes.astype(jnp.float32), g_coords
+
+
+triplane_sample_fused.defvjp(_sample_fwd, _sample_bwd)

@@ -1,0 +1,120 @@
+"""Parity tests for the Pallas tri-plane splat (tdgp/ops/splat.py).
+
+The splat kernel is the TPU replacement for the reference's grid_sample
+backward (ref src/training/tri_plane_renderer.py:584 under G training).
+Runs in Pallas interpret mode on the CPU test mesh.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tdgp.ops.grid_sample import grid_sample_2d
+from tdgp.ops.splat import (triplane_sample_fused, triplane_splat,
+                            triplane_splat_ref)
+
+
+def _tri_plane_sample_jnp(planes_flat, coords, scale):
+    """The model's pure-jnp path (tdgp/models/epigraf.py:tri_plane_sample)."""
+    n3, h, w, f = planes_flat.shape
+    n = n3 // 3
+    p = coords.shape[1]
+    c = coords / scale
+    grids = jnp.stack([
+        c[..., jnp.array([0, 1])],
+        c[..., jnp.array([0, 2])],
+        c[..., jnp.array([1, 2])],
+    ], axis=1)
+    feats = grid_sample_2d(planes_flat, grids.reshape(n * 3, p, 2),
+                           align_corners=True)
+    return jnp.mean(feats.reshape(n, 3, p, f), axis=1)
+
+
+@pytest.fixture(scope='module')
+def setup():
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    n, h, w, f, p = 2, 64, 128, 8, 97
+    scale = 0.5
+    planes = jax.random.normal(k1, (n * 3, h, w, f), jnp.float32)
+    # coords straddle the cube boundary to exercise corner validity masks
+    coords = jax.random.uniform(k2, (n, p, 3), minval=-0.62, maxval=0.62)
+    g_pts = jax.random.normal(k3, (n * 3, p, f), jnp.float32)
+    return planes, coords, g_pts, scale
+
+
+def test_splat_kernel_vs_scatter_ref(setup):
+    planes, coords, g_pts, scale = setup
+    n3, h, w, f = planes.shape
+    out = jax.jit(lambda g, c: triplane_splat(g, c, scale, n3, h, w,
+                                              interpret=True))(g_pts, coords)
+    ref = triplane_splat_ref(g_pts, coords, scale, n3, h, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    assert np.abs(np.asarray(ref)).max() > 0  # non-trivial case
+
+
+def test_fused_forward_matches_jnp(setup):
+    planes, coords, _, scale = setup
+    out = triplane_sample_fused(planes, coords, scale, True)
+    ref = _tri_plane_sample_jnp(planes, coords, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_grads_match_jnp_autodiff(setup):
+    planes, coords, _, scale = setup
+
+    def loss_fused(pl_, co_):
+        y = triplane_sample_fused(pl_, co_, scale, True)
+        return jnp.sum(jnp.sin(y) * y)
+
+    def loss_jnp(pl_, co_):
+        y = _tri_plane_sample_jnp(pl_, co_, scale)
+        return jnp.sum(jnp.sin(y) * y)
+
+    gp_f, gc_f = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(planes, coords)
+    gp_r, gc_r = jax.grad(loss_jnp, argnums=(0, 1))(planes, coords)
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gc_f), np.asarray(gc_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_grads_under_remat(setup):
+    """The model wraps sampling in jax.checkpoint — VJP must survive remat."""
+    planes, coords, _, scale = setup
+
+    @jax.checkpoint
+    def seg(pl_, co_):
+        return jnp.tanh(triplane_sample_fused(pl_, co_, scale, True))
+
+    def loss(pl_, co_):
+        return jnp.sum(seg(pl_, co_) ** 2)
+
+    def loss_ref(pl_, co_):
+        return jnp.sum(jnp.tanh(_tri_plane_sample_jnp(pl_, co_, scale)) ** 2)
+
+    gp_f, gc_f = jax.jit(jax.grad(loss, argnums=(0, 1)))(planes, coords)
+    gp_r, gc_r = jax.grad(loss_ref, argnums=(0, 1))(planes, coords)
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gc_f), np.asarray(gc_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_splat_boundary_rows():
+    """Points whose corners touch rows -1/H-1/H exercise the window remap."""
+    n, h, w, f = 1, 64, 128, 8
+    scale = 1.0
+    key = jax.random.PRNGKey(3)
+    p = 64
+    coords = jax.random.uniform(key, (n, p, 3), minval=-1.1, maxval=1.1)
+    # force many points onto the top/bottom edges
+    coords = coords.at[:, :16, 1].set(jnp.linspace(-1.05, -0.95, 16))
+    coords = coords.at[:, 16:32, 1].set(jnp.linspace(0.95, 1.05, 16))
+    g_pts = jax.random.normal(key, (n * 3, p, f), jnp.float32)
+    out = triplane_splat(g_pts, coords, scale, n * 3, h, w, interpret=True)
+    ref = triplane_splat_ref(g_pts, coords, scale, n * 3, h, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
