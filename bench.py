@@ -41,12 +41,16 @@ def make_batch(key, n, res, c_dim, emb_dim):
     }
 
 
-def run_bench(batch_size: int):
+def run_bench(batch_size: int, batch_gpu=None):
     from tdgp.config import satellite_config, replace
     from tdgp.training.schedules import compute_schedules
     from tdgp.training.train_step import create_train_state, make_jitted_train_steps
 
+    import dataclasses
     cfg = satellite_config(c_dim=0, resolution=256)
+    if batch_gpu:
+        cfg = dataclasses.replace(
+            cfg, training=dataclasses.replace(cfg.training, batch_gpu=batch_gpu))
     state, G, D = create_train_state(cfg, seed=0, local_batch=batch_size)
     step_plain, step_r1 = make_jitted_train_steps(cfg, G, D)
 
@@ -81,17 +85,19 @@ def run_bench(batch_size: int):
 
 
 def main():
-    for batch_size in (16, 8, 4):
+    # ladder: larger per-chip batches ride batch_gpu microbatching
+    # (lax.scan grad accumulation); plain batches as fallback
+    for batch_size, batch_gpu in ((32, 8), (16, 8), (16, None), (8, None), (4, None)):
         try:
-            imgs_per_sec, elapsed = run_bench(batch_size)
+            imgs_per_sec, elapsed = run_bench(batch_size, batch_gpu)
             break
         except Exception as e:  # noqa: BLE001 - OOM fallback
             err = str(e)
             oom_markers = ('RESOURCE_EXHAUSTED', 'Out of memory', 'OOM',
                            'Ran out of memory', 'hbm', 'remote_compile')
             if any(m in err for m in oom_markers):
-                print(f'# batch {batch_size} failed ({err[:120]}...); retrying smaller',
-                      flush=True)
+                print(f'# batch {batch_size} (batch_gpu={batch_gpu}) failed '
+                      f'({err[:120]}...); retrying smaller', flush=True)
                 continue
             raise
     else:
@@ -103,6 +109,7 @@ def main():
         'unit': 'imgs/sec/chip',
         'vs_baseline': round(imgs_per_sec / ASSUMED_A100_IMGS_PER_SEC, 3),
         'batch_per_chip': batch_size,
+        'batch_gpu': batch_gpu,
         'baseline_note': f'assumed A100 ref {ASSUMED_A100_IMGS_PER_SEC} imgs/s/GPU (repo publishes none)',
         'device': str(jax.devices()[0]),
     }))

@@ -312,6 +312,8 @@ class TrainingConfig:
     ema_start_kimg: float = 0.0
     metrics: Tuple[str, ...] = ('fid2k_full', 'nfs256')
     resume: str = 'latest'
+    tensorboard: bool = True        # TB sink (ref training_loop.py:270-275)
+    run_profiling: bool = False     # jax.profiler trace of ticks 1-2 (ref infra.yaml:15)
     g_optim: OptimCfg = OptimCfg(lr=0.0025)
     d_optim: OptimCfg = OptimCfg(lr=0.002)
     augment: AugmentCfg = AugmentCfg()

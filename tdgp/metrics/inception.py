@@ -44,12 +44,16 @@ def _maxpool(x, k=3, s=2):
     return nn.max_pool(x, (k, k), strides=(s, s))
 
 
-def _avgpool3(x):
-    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+def _avgpool3(x, fid_pool: bool = False):
+    # pytorch-fid's pt_inception patches torchvision's branch avg-pools to
+    # count_include_pad=False; torchvision's own weights use True.
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                       count_include_pad=not fid_pool)
 
 
 class InceptionA(nn.Module):
     pool_features: int
+    fid_pool: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -59,7 +63,8 @@ class InceptionA(nn.Module):
         b3 = BasicConv2d(64, (1, 1), name='branch3x3dbl_1')(x)
         b3 = BasicConv2d(96, (3, 3), padding=1, name='branch3x3dbl_2')(b3)
         b3 = BasicConv2d(96, (3, 3), padding=1, name='branch3x3dbl_3')(b3)
-        bp = BasicConv2d(self.pool_features, (1, 1), name='branch_pool')(_avgpool3(x))
+        bp = BasicConv2d(self.pool_features, (1, 1), name='branch_pool')(
+            _avgpool3(x, self.fid_pool))
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -76,6 +81,7 @@ class InceptionB(nn.Module):
 
 class InceptionC(nn.Module):
     channels_7x7: int
+    fid_pool: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -89,7 +95,7 @@ class InceptionC(nn.Module):
         bd = BasicConv2d(c7, (1, 7), padding=((0, 0), (3, 3)), name='branch7x7dbl_3')(bd)
         bd = BasicConv2d(c7, (7, 1), padding=((3, 3), (0, 0)), name='branch7x7dbl_4')(bd)
         bd = BasicConv2d(192, (1, 7), padding=((0, 0), (3, 3)), name='branch7x7dbl_5')(bd)
-        bp = BasicConv2d(192, (1, 1), name='branch_pool')(_avgpool3(x))
+        bp = BasicConv2d(192, (1, 1), name='branch_pool')(_avgpool3(x, self.fid_pool))
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
@@ -107,6 +113,7 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    fid_pool: bool = False
     pool_mode: str = 'avg'  # Mixed_7b uses avg, the FID variant's 7c uses max in
                             # the original TF graph; torchvision uses avg for both
 
@@ -125,14 +132,20 @@ class InceptionE(nn.Module):
         if self.pool_mode == 'max':
             bp = nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
         else:
-            bp = _avgpool3(x)
+            bp = _avgpool3(x, self.fid_pool)
         bp = BasicConv2d(192, (1, 1), name='branch_pool')(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
 class InceptionV3FID(nn.Module):
-    """Returns (pool3 features [N, 2048], logits [N, num_logits])."""
+    """Returns (pool3 features [N, 2048], logits [N, num_logits]).
+
+    fid_pool=True reproduces pytorch-fid's count_include_pad=False branch
+    pools (use with pt_inception-2015-12-05 weights); False matches
+    torchvision's inception_v3.
+    """
     num_logits: int = 1008
+    fid_pool: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -143,17 +156,18 @@ class InceptionV3FID(nn.Module):
         x = BasicConv2d(80, (1, 1), name='Conv2d_3b_1x1')(x)
         x = BasicConv2d(192, (3, 3), name='Conv2d_4a_3x3')(x)
         x = _maxpool(x)
-        x = InceptionA(32, name='Mixed_5b')(x)
-        x = InceptionA(64, name='Mixed_5c')(x)
-        x = InceptionA(64, name='Mixed_5d')(x)
+        fp = self.fid_pool
+        x = InceptionA(32, fp, name='Mixed_5b')(x)
+        x = InceptionA(64, fp, name='Mixed_5c')(x)
+        x = InceptionA(64, fp, name='Mixed_5d')(x)
         x = InceptionB(name='Mixed_6a')(x)
-        x = InceptionC(128, name='Mixed_6b')(x)
-        x = InceptionC(160, name='Mixed_6c')(x)
-        x = InceptionC(160, name='Mixed_6d')(x)
-        x = InceptionC(192, name='Mixed_6e')(x)
+        x = InceptionC(128, fp, name='Mixed_6b')(x)
+        x = InceptionC(160, fp, name='Mixed_6c')(x)
+        x = InceptionC(160, fp, name='Mixed_6d')(x)
+        x = InceptionC(192, fp, name='Mixed_6e')(x)
         x = InceptionD(name='Mixed_7a')(x)
-        x = InceptionE(name='Mixed_7b')(x)
-        x = InceptionE(name='Mixed_7c')(x)
+        x = InceptionE(fp, name='Mixed_7b')(x)
+        x = InceptionE(fp, name='Mixed_7c')(x)
         feats = jnp.mean(x, axis=(1, 2))  # global average pool -> [N, 2048]
         logits = nn.Dense(self.num_logits, name='fc')(feats)
         return feats, logits

@@ -140,6 +140,35 @@ def create_train_state(cfg: Config, seed: int = 0,
     return state, G, D
 
 
+def _microbatched_grad(loss_fn, params, data, n_micro: int):
+    """Gradient accumulation over microbatches (ref `batch_gpu`,
+    train.py:169 + training_loop.py:329-330).
+
+    loss_fn(params, data_micro) -> (loss, aux) where every leaf of `data`
+    has leading dim n = n_micro * micro. Returns ((loss, aux), grads)
+    averaged over microbatches via a lax.scan (one compiled body at micro
+    size — this is also what lets batch 16 @256^2 compile on one chip).
+    """
+    vg = jax.value_and_grad(loss_fn, has_aux=True)
+    if n_micro <= 1:
+        return vg(params, data)
+
+    def split(x):
+        return x.reshape((n_micro, x.shape[0] // n_micro) + x.shape[1:])
+
+    data_s = jax.tree.map(split, data)
+    first = jax.tree.map(lambda x: x[0], data_s)
+    shapes = jax.eval_shape(vg, params, first)
+    init = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    def body(acc, micro):
+        out = vg(params, micro)
+        return jax.tree.map(jnp.add, acc, out), None
+
+    acc, _ = jax.lax.scan(body, init, data_s)
+    return jax.tree.map(lambda x: x / n_micro, acc)
+
+
 def _sample_gen_inputs(key, batch_size: int, cfg: Config, sched: Schedules,
                        gen_c: Optional[jnp.ndarray] = None):
     """z, labels, prior cameras, GPC-spoofed conditioning angles
@@ -193,30 +222,49 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
                 return augment_pipe(img, sched.ada_p, aug_rng)
 
         # ------------------------------------------------------ Gmain phase
+        bg = cfg.training.batch_gpu
+        n_micro = (n // bg) if (bg and bg < n) else 1
+        if n_micro > 1:
+            assert n % bg == 0, f'local batch {n} not divisible by batch_gpu {bg}'
         zg, cg, camg, condg = _sample_gen_inputs(k_gen_g, n, cfg, sched,
                                                  batch.get('gen_c_g'))
 
-        def g_loss_fn(g_params):
+        def g_adv_loss(g_params, md):
             g_vars = {'params': g_params, 'consts': state.g_consts, 'ema': state.g_ema_coll}
+            kf = jax.random.fold_in(k_gfwd, md['idx'][0])
+            ka = jax.random.fold_in(jax.random.fold_in(k_aug, 0), md['idx'][0])
             if is_2d:
                 out, patch_params, _ = losses.g_forward_2d(
-                    G, g_vars, zg, cg, sched, k_gfwd, cfg)
-                cam_post = camg
+                    G, g_vars, md['z'], md['c'], sched, kf, cfg)
+                cam_post = md['cam']
             else:
                 out, patch_params, cam_post, _ = losses.g_forward(
-                    G, g_vars, zg, cg, camg, condg, sched, k_gfwd, cfg)
+                    G, g_vars, md['z'], md['c'], md['cam'], md['cond'], sched, kf, cfg)
             logits, _ = losses.d_forward(
-                D, {'params': state.d_params}, out.img, cg, sched, cfg,
+                D, {'params': state.d_params}, out.img, md['c'], sched, cfg,
                 patch_params=patch_params, camera_angles=cam_post.angles,
-                augment_fn=augment_fn, rng=jax.random.fold_in(k_aug, 0))
+                augment_fn=augment_fn, rng=ka)
             loss_gmain = jnp.mean(losses.adv_loss_g(logits, adv))
             aux = {'Loss/G/loss': loss_gmain,
                    'Loss/scores/fake': jnp.mean(logits),
                    'Loss/signs/fake': jnp.mean(jnp.sign(logits))}
-            total = loss_gmain
-            acfg = cfg.generator.camera_adaptor
-            if cfg.training.learn_camera_dist and not is_2d:
+            return loss_gmain, aux
+
+        g_md = {'z': zg, 'c': cg, 'cam': camg, 'cond': condg,
+                'idx': jnp.arange(n, dtype=jnp.int32)}
+        (g_loss, g_aux), g_grads = _microbatched_grad(
+            g_adv_loss, state.g_params, g_md, n_micro)
+
+        # camera-adaptor regularizers once per step (they sample their own
+        # batches internally — ref loss.py:143-232); grads are additive
+        acfg = cfg.generator.camera_adaptor
+        if cfg.training.learn_camera_dist and not is_2d:
+            def g_reg_loss(g_params):
+                g_vars = {'params': g_params, 'consts': state.g_consts,
+                          'ema': state.g_ema_coll}
                 k_emd, k_fm, k_lip = jax.random.split(k_reg, 3)
+                total = jnp.zeros(())
+                aux = {}
                 if acfg.emd.enabled:
                     emd, emd_stats = losses.camera_emd_reg(G, g_vars, sched, k_emd, cfg)
                     total = total + emd
@@ -229,9 +277,15 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
                     lip, lip_stats = losses.camera_lipschitz_reg(G, g_vars, k_lip, cfg)
                     total = total + lip
                     aux.update(lip_stats)
-            return total, aux
+                return total, aux
 
-        (g_loss, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+            if acfg.emd.enabled or (acfg.adjust.angles and acfg.force_mean_weight > 0) \
+                    or acfg.lipschitz_weights.enabled:
+                (_, reg_aux), reg_grads = jax.value_and_grad(
+                    g_reg_loss, has_aux=True)(state.g_params)
+                g_grads = jax.tree.map(jnp.add, g_grads, reg_grads)
+                g_aux = {**g_aux, **reg_aux}
+
         g_grads = scrub(pmean(g_grads))
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
@@ -328,17 +382,19 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
         else:
             real_pp, real_patches = None, real4
 
-        def d_loss_fn(d_params):
+        def d_loss_fn(d_params, md):
             d_vars = {'params': d_params}
+            ka1 = jax.random.fold_in(jax.random.fold_in(k_aug, 1), md['idx'][0])
+            ka2 = jax.random.fold_in(jax.random.fold_in(k_aug, 2), md['idx'][0])
             fake_logits, _ = losses.d_forward(
-                D, d_vars, fake_img, cd, sched, cfg,
-                patch_params=fake_patch_params, camera_angles=fake_angles,
-                augment_fn=augment_fn, rng=jax.random.fold_in(k_aug, 1))
+                D, d_vars, md['fake_img'], md['cd'], sched, cfg,
+                patch_params=md.get('fpp'), camera_angles=md['fake_angles'],
+                augment_fn=augment_fn, rng=ka1)
             real_logits, real_feats = losses.d_forward(
-                D, d_vars, real_patches, batch['c'], sched, cfg,
-                patch_params=real_pp, camera_angles=batch['camera_angles'],
+                D, d_vars, md['real'], md['c'], sched, cfg,
+                patch_params=md.get('rpp'), camera_angles=md['angles'],
                 predict_feat=do_kd,
-                augment_fn=augment_fn, rng=jax.random.fold_in(k_aug, 2))
+                augment_fn=augment_fn, rng=ka2)
             loss_fake = jnp.mean(losses.adv_loss_d_fake(fake_logits, adv, clamp))
             loss_real = jnp.mean(losses.adv_loss_d_real(real_logits, adv, clamp))
             total = loss_fake + loss_real
@@ -346,15 +402,24 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
                    'Loss/scores/real': jnp.mean(real_logits),
                    'Loss/signs/real': jnp.mean(jnp.sign(real_logits))}
             if do_kd:
-                dist = losses.kd_loss(real_feats, batch['embs'], cfg.loss.kd.loss_type)
-                dist = dist * losses.compute_sample_weights(real_pp)
+                dist = losses.kd_loss(real_feats, md['embs'], cfg.loss.kd.loss_type)
+                dist = dist * losses.compute_sample_weights(md.get('rpp'))
                 loss_kd = jnp.mean(dist) * sched.kd_weight
                 total = total + loss_kd
                 aux['Loss/kd/D_dist'] = jnp.mean(dist)
                 aux['Loss/kd/D_loss'] = loss_kd
             return total, aux
 
-        (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
+        d_md = {'fake_img': fake_img, 'fake_angles': fake_angles, 'cd': cd,
+                'real': real_patches, 'c': batch['c'],
+                'angles': batch['camera_angles'], 'embs': batch['embs'],
+                'idx': jnp.arange(n, dtype=jnp.int32)}
+        if fake_patch_params is not None:
+            d_md['fpp'] = jax.lax.stop_gradient(fake_patch_params)
+        if real_pp is not None:
+            d_md['rpp'] = real_pp
+        (d_loss, d_aux), d_grads = _microbatched_grad(
+            d_loss_fn, state.d_params, d_md, n_micro)
         d_grads = scrub(pmean(d_grads))
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
@@ -364,23 +429,29 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
         if do_r1 and cfg.loss.r1_gamma > 0:
             gain = float(cfg.loss.r1_interval)
 
-            def r1_loss_fn(d_params):
+            def r1_loss_fn(d_params, md):
                 d_vars = {'params': d_params}
+                ka = jax.random.fold_in(jax.random.fold_in(k_aug, 3), md['idx'][0])
 
                 def logits_of_img(img):
                     logits, _ = losses.d_forward(
-                        D, d_vars, img, batch['c'], sched, cfg,
-                        patch_params=real_pp, camera_angles=batch['camera_angles'],
-                        augment_fn=augment_fn, rng=jax.random.fold_in(k_aug, 3))
+                        D, d_vars, img, md['c'], sched, cfg,
+                        patch_params=md.get('rpp'), camera_angles=md['angles'],
+                        augment_fn=augment_fn, rng=ka)
                     return jnp.sum(logits)
 
-                r1_grads = jax.grad(logits_of_img)(real_patches)
+                r1_grads = jax.grad(logits_of_img)(md['real'])
                 penalty = jnp.sum(jnp.square(r1_grads), axis=(1, 2, 3))
                 loss = jnp.mean(penalty) * (cfg.loss.r1_gamma / 2) * gain
                 return loss, jnp.mean(penalty)
 
-            (r1_loss, r1_pen), r1_grads = jax.value_and_grad(
-                r1_loss_fn, has_aux=True)(d_params)
+            r1_md = {'real': real_patches, 'c': batch['c'],
+                     'angles': batch['camera_angles'],
+                     'idx': jnp.arange(n, dtype=jnp.int32)}
+            if real_pp is not None:
+                r1_md['rpp'] = real_pp
+            (r1_loss, r1_pen), r1_grads = _microbatched_grad(
+                r1_loss_fn, d_params, r1_md, n_micro)
             r1_grads = scrub(pmean(r1_grads))
             r1_updates, d_opt = d_tx.update(r1_grads, d_opt, d_params)
             d_params = optax.apply_updates(d_params, r1_updates)

@@ -1,0 +1,65 @@
+"""Converter + forward parity of the flax InceptionV3-FID vs torch.
+
+Closes the loop the round-1 review flagged: test_inception.py only checked
+shapes/determinism. Here a torch InceptionV3 with torchvision's module
+naming (tests/_torch_inception.py) is built at random weights (randomized
+BN stats included), converted via scripts/convert_inception.py, and the
+pool-3 features + logits must agree on fixed inputs. Real pretrained
+weights cannot be downloaded in this environment (zero egress, torchvision
+not installed); this pins everything that is code — layout conversion,
+padding, BN, pooling (incl. pytorch-fid's count_include_pad quirk),
+concat order — so dropping in real weights is a pure data operation.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'scripts'))
+
+import jax.numpy as jnp  # noqa: E402
+
+from tests._torch_inception import TorchInceptionV3FID  # noqa: E402
+
+
+def _randomize_bn(model, rs):
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.from_numpy(
+                rs.randn(*m.running_mean.shape).astype(np.float32) * 0.1))
+            m.running_var.copy_(torch.from_numpy(
+                0.5 + np.abs(rs.randn(*m.running_var.shape)).astype(np.float32)))
+
+
+@pytest.mark.parametrize('fid_pool', [False, True])
+def test_inception_feature_parity(fid_pool):
+    from convert_inception import convert
+    from tdgp.metrics.inception import InceptionV3FID
+
+    torch.manual_seed(0)
+    rs = np.random.RandomState(1)
+    tmodel = TorchInceptionV3FID(num_logits=1008, fid_pool=fid_pool)
+    with torch.no_grad():
+        _randomize_bn(tmodel, rs)
+    tmodel.eval()
+
+    flat = convert(tmodel.state_dict())
+    tree = {}
+    for key, val in flat.items():
+        parts = key.split('/')
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+
+    x = rs.uniform(-1, 1, size=(2, 299, 299, 3)).astype(np.float32)
+    with torch.no_grad():
+        tf_, tl_ = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    feats, logits = InceptionV3FID(fid_pool=fid_pool).apply(tree, jnp.asarray(x))
+
+    np.testing.assert_allclose(np.asarray(feats), tf_.numpy(), rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logits), tl_.numpy(), rtol=1e-3, atol=2e-3)

@@ -61,3 +61,37 @@ def test_train_step_with_ada_and_pl():
     for k, v in stats.items():
         assert np.isfinite(float(v)), f'{k} not finite'
     assert float(state1.pl_mean) != 0.0
+
+
+def test_grad_accumulation_microbatching():
+    """batch_gpu microbatching (ref train.py:169, training_loop.py:329-330):
+    the step must run with n_micro > 1, keep mbstd grouping identical to the
+    full-batch layout, and produce finite stats + updated params."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from tdgp.config import tiny_test_config
+    from tdgp.training.schedules import compute_schedules
+    from tdgp.training.train_step import create_train_state, make_jitted_train_steps
+    from tests.test_train_step import make_batch  # reuse fixture helper
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, training=dataclasses.replace(cfg.training, batch_gpu=2))
+    n = 4  # -> 2 microbatches of 2 (mbstd_group_size=2 divides)
+    state, G, D = create_train_state(cfg, seed=0, local_batch=n)
+    step_plain, step_r1 = make_jitted_train_steps(cfg, G, D)
+    batch = make_batch(jax.random.PRNGKey(0), n)
+    sched = compute_schedules(cfg, cur_nimg=0)
+
+    state2, stats = step_r1(state, batch, jax.random.PRNGKey(1), sched)
+    for k, v in stats.items():
+        assert np.isfinite(float(np.asarray(v))), k
+    # params actually moved
+    delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(np.abs(np.asarray(a - b)).sum()),
+                     state.g_params, state2.g_params))
+    assert delta > 0
