@@ -85,23 +85,51 @@ def run_bench(batch_size: int, batch_gpu=None):
 
 
 def main():
-    # ladder: larger per-chip batches ride batch_gpu microbatching
-    # (lax.scan grad accumulation); plain batches as fallback
+    import os
+    import subprocess
+    import sys
+
+    if '--single' in sys.argv:
+        i = sys.argv.index('--single')
+        bs = int(sys.argv[i + 1])
+        bg = sys.argv[i + 2]
+        bg = None if bg == 'none' else int(bg)
+        imgs_per_sec, _ = run_bench(bs, bg)
+        print(json.dumps({'imgs_per_sec': imgs_per_sec,
+                          'batch': bs, 'batch_gpu': bg}))
+        return
+
+    # ladder: larger per-chip batches ride batch_gpu microbatching (lax.scan
+    # grad accumulation); plain batches as fallback. Each attempt runs in its
+    # own process: a failed/OOMed attempt fragments HBM and poisons later
+    # attempts in the same process.
+    result = None
     for batch_size, batch_gpu in ((32, 8), (16, 8), (16, None), (8, None), (4, None)):
+        cmd = [sys.executable, os.path.abspath(__file__), '--single',
+               str(batch_size), 'none' if batch_gpu is None else str(batch_gpu)]
         try:
-            imgs_per_sec, elapsed = run_bench(batch_size, batch_gpu)
-            break
-        except Exception as e:  # noqa: BLE001 - OOM fallback
-            err = str(e)
-            oom_markers = ('RESOURCE_EXHAUSTED', 'Out of memory', 'OOM',
-                           'Ran out of memory', 'hbm', 'remote_compile')
-            if any(m in err for m in oom_markers):
-                print(f'# batch {batch_size} (batch_gpu={batch_gpu}) failed '
-                      f'({err[:120]}...); retrying smaller', flush=True)
-                continue
-            raise
-    else:
+            r = subprocess.run(cmd, capture_output=True, text=True, timeout=2400)
+        except subprocess.TimeoutExpired:
+            print(f'# batch {batch_size} (batch_gpu={batch_gpu}) timed out; '
+                  f'retrying smaller', flush=True)
+            continue
+        if r.returncode == 0:
+            for line in reversed(r.stdout.strip().splitlines()):
+                try:
+                    result = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+            if result is not None:
+                break
+        tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+        print(f'# batch {batch_size} (batch_gpu={batch_gpu}) failed '
+              f'({" ".join(tail)[:140]}...); retrying smaller', flush=True)
+    if result is None:
         raise RuntimeError('all batch sizes OOMed')
+    imgs_per_sec = result['imgs_per_sec']
+    batch_size = result['batch']
+    batch_gpu = result['batch_gpu']
 
     print(json.dumps({
         'metric': 'G+D train step throughput @256^2 (satellite cfg, r1/16 cadence)',

@@ -101,13 +101,39 @@ def cache_key(tag: str, opts: Dict[str, Any]) -> str:
     return f'{tag}-{md5}'
 
 
+def default_process_gather(feats: jnp.ndarray) -> np.ndarray:
+    """Cross-host feature gather (ref metric_utils.py:145-155): every
+    process contributes its batch; results are rank-interleaved
+    deterministically. Uses multihost_utils.process_allgather over DCN/ICI."""
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(feats)   # [P, B, D]
+    return np.asarray(gathered).reshape(-1, gathered.shape[-1])
+
+
+def _process_info(rank, num_shards):
+    if rank is None:
+        rank = jax.process_index()
+    if num_shards is None:
+        num_shards = jax.process_count()
+    return rank, num_shards
+
+
 def compute_feature_stats_for_dataset(
     dataset, detector: Callable, *, detector_name: str = 'detector',
     batch_size: int = 64, data_loader_kwargs: Optional[Dict] = None,
     max_items: Optional[int] = None, cache_dir: Optional[str] = None,
+    rank: Optional[int] = None, num_shards: Optional[int] = None,
+    gather_fn: Optional[Callable] = None,
     **stats_kwargs,
 ) -> FeatureStats:
-    """ref metric_utils.py:230-284."""
+    """ref metric_utils.py:230-284. Multi-process: each process featurizes
+    the rank-strided subset `(i * num_shards + rank) % N` (ref :269) and
+    per-batch features are all-gathered so every process ends with the full
+    statistics (ref :145-155)."""
+    rank, num_shards = _process_info(rank, num_shards)
+    if gather_fn is None and num_shards > 1:
+        gather_fn = default_process_gather
+
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         key = cache_key('features', dict(dataset=getattr(dataset, 'name', ''),
@@ -125,12 +151,15 @@ def compute_feature_stats_for_dataset(
     while not stats.is_full():
         images = []
         for _ in range(batch_size):
-            item = dataset[idx % len(dataset)]
+            item = dataset[(idx * num_shards + rank) % len(dataset)]
             images.append(item['image'])
             idx += 1
         feats = detector(jnp.asarray(np.stack(images)))
-        stats.append(np.asarray(feats))
-    if cache_dir:
+        if gather_fn is not None:
+            stats.append(np.asarray(gather_fn(feats)))
+        else:
+            stats.append(np.asarray(feats))
+    if cache_dir and rank == 0:
         stats.save(cache_file)
     return stats
 
@@ -158,14 +187,24 @@ def iterate_random_conditioning(cfg: Config, dataset, batch_size: int,
 def compute_feature_stats_for_generator(
     sample_fn: Callable,  # (batch_size, seed) -> uint8 images [N,H,W,3]
     detector: Callable, *, batch_size: int = 16,
-    max_items: int = 2048, **stats_kwargs,
+    max_items: int = 2048,
+    rank: Optional[int] = None, num_shards: Optional[int] = None,
+    gather_fn: Optional[Callable] = None,
+    **stats_kwargs,
 ) -> FeatureStats:
-    """ref metric_utils.py:288-319 — sample G, featurize, accumulate."""
+    """ref metric_utils.py:288-319 — sample G, featurize, accumulate.
+    Multi-process: disjoint per-rank seeds + per-batch all-gather."""
+    rank, num_shards = _process_info(rank, num_shards)
+    if gather_fn is None and num_shards > 1:
+        gather_fn = default_process_gather
     stats = FeatureStats(max_items=max_items, **stats_kwargs)
     seed = 0
     while not stats.is_full():
-        images = sample_fn(batch_size, seed)
+        images = sample_fn(batch_size, seed * num_shards + rank)
         feats = detector(images)
-        stats.append(np.asarray(feats))
+        if gather_fn is not None:
+            stats.append(np.asarray(gather_fn(feats)))
+        else:
+            stats.append(np.asarray(feats))
         seed += 1
     return stats

@@ -53,6 +53,11 @@ def sample_camera_angles(key, cfg: Dict[str, Any], batch_size: int) -> jnp.ndarr
     k_yaw, k_pitch, k_sel = jax.random.split(key, 3)
     dist = cfg['dist']
 
+    if dist == 'custom':
+        # dataset-driven angles (ref rendering_utils.py:187, training_loop.py:305-312):
+        # the caller must pass dataset-sampled angles via
+        # sample_camera_params(origin_angles=...) — there is nothing to draw here.
+        raise ValueError("angles dist 'custom' requires dataset-provided origin_angles")
     if dist == 'uniform':
         yaw = jax.random.uniform(k_yaw, (batch_size,), minval=cfg.yaw['min'], maxval=cfg.yaw['max'])
         pitch = jax.random.uniform(k_pitch, (batch_size,), minval=cfg.pitch['min'], maxval=cfg.pitch['max'])

@@ -48,6 +48,31 @@ def synthetic_batch_iterator(cfg: Config, batch_size: int, seed: int = 0):
         }
 
 
+def with_gen_conditioning(iterator, dataset, cfg: Config, seed: int = 0):
+    """Attach dataset-sampled generator conditioning to each batch
+    (ref training_loop.py:301-312): labels for gen phases always come from
+    random dataset items; camera angles too when
+    cfg.camera.origin.angles.dist == 'custom'."""
+    rng = np.random.RandomState(seed + 0x9e3779)
+    custom = cfg.camera.origin.angles.dist == 'custom'
+    use_labels = cfg.dataset.c_dim > 0
+    if not (custom or use_labels):
+        yield from iterator
+        return
+    for batch in iterator:
+        n = len(batch['img'])
+        out = dict(batch)
+        for suffix in ('g', 'd'):
+            idx = rng.randint(len(dataset), size=n)
+            if use_labels:
+                out[f'gen_c_{suffix}'] = np.stack(
+                    [dataset.get_label(i) for i in idx]).astype(np.float32)
+            if custom:
+                out[f'gen_camera_angles_{suffix}'] = np.stack(
+                    [dataset.get_camera_angles(i) for i in idx]).astype(np.float32)
+        yield out
+
+
 def training_loop(
     cfg: Config,
     run_dir: str,
@@ -77,7 +102,8 @@ def training_loop(
                 embeddings_path=cfg.dataset.embeddings_path,
                 embeddings_desc_path=cfg.dataset.embeddings_desc_path)
             loader = BatchLoader(dataset, batch_size)
-            batch_iterator = (normalize_batch(b) for b in loader)
+            batch_iterator = with_gen_conditioning(
+                (normalize_batch(b) for b in loader), dataset, cfg, seed=t.seed)
         else:
             batch_iterator = synthetic_batch_iterator(cfg, batch_size)
 

@@ -104,7 +104,12 @@ def create_train_state(cfg: Config, seed: int = 0,
     gc = cfg.generator
     z = jnp.zeros((n, gc.z_dim))
     c = jnp.zeros((n, gc.c_dim)) if gc.c_dim > 0 else None
-    cam = sample_camera_params(jax.random.PRNGKey(0), asdict(cfg.camera), n)
+    # 'custom' camera dist draws angles from the dataset at train time; any
+    # valid angles do for shape-only init
+    init_angles = (jnp.tile(jnp.array([[0.0, jnp.pi / 2, 0.0]]), (n, 1))
+                   if cfg.camera.origin.angles.dist == 'custom' else None)
+    cam = sample_camera_params(jax.random.PRNGKey(0), asdict(cfg.camera), n,
+                               origin_angles=init_angles)
 
     if cfg.model_name == 'stylegan2':
         g_vars = G.init(init_rngs(seed), z, c, train=True)
@@ -170,13 +175,16 @@ def _microbatched_grad(loss_fn, params, data, n_micro: int):
 
 
 def _sample_gen_inputs(key, batch_size: int, cfg: Config, sched: Schedules,
-                       gen_c: Optional[jnp.ndarray] = None):
+                       gen_c: Optional[jnp.ndarray] = None,
+                       gen_angles: Optional[jnp.ndarray] = None):
     """z, labels, prior cameras, GPC-spoofed conditioning angles
-    (ref training_loop.py:301-316)."""
+    (ref training_loop.py:301-316). gen_c / gen_angles are dataset-sampled
+    conditioning (labels always; angles when camera dist == 'custom')."""
     k_z, k_c, k_cam, k_spoof = jax.random.split(key, 4)
     z = jax.random.normal(k_z, (batch_size, cfg.generator.z_dim))
     c = gen_c if gen_c is not None else sample_random_c(k_c, batch_size, cfg.generator.c_dim)
-    cam = sample_camera_params(k_cam, asdict(cfg.camera), batch_size)
+    cam = sample_camera_params(k_cam, asdict(cfg.camera), batch_size,
+                               origin_angles=gen_angles)
     spoof = jax.random.uniform(k_spoof, (batch_size,)) < sched.gpc_spoof_p
     cond_angles = jnp.where(spoof[:, None], jnp.roll(cam.angles, 1, axis=0), cam.angles)
     return z, c, cam, cond_angles
@@ -226,8 +234,9 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
         n_micro = (n // bg) if (bg and bg < n) else 1
         if n_micro > 1:
             assert n % bg == 0, f'local batch {n} not divisible by batch_gpu {bg}'
-        zg, cg, camg, condg = _sample_gen_inputs(k_gen_g, n, cfg, sched,
-                                                 batch.get('gen_c_g'))
+        zg, cg, camg, condg = _sample_gen_inputs(
+            k_gen_g, n, cfg, sched, batch.get('gen_c_g'),
+            batch.get('gen_camera_angles_g'))
 
         def g_adv_loss(g_params, md):
             g_vars = {'params': g_params, 'consts': state.g_consts, 'ema': state.g_ema_coll}
@@ -356,22 +365,28 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
             stats['Loss/G/reg'] = pl_loss
 
         # ------------------------------------------------------ Dmain phase
-        zd, cd, camd, condd = _sample_gen_inputs(k_gen_d, n, cfg, sched,
-                                                 batch.get('gen_c_d'))
+        zd, cd, camd, condd = _sample_gen_inputs(
+            k_gen_d, n, cfg, sched, batch.get('gen_c_d'),
+            batch.get('gen_camera_angles_d'))
         k_dg, k_dreal, k_r1 = jax.random.split(k_dfwd, 3)
-        # fake images with the UPDATED G (sequential phases, like the
-        # reference which steps G before D in its phase list); w_avg EMA
-        # updates here (ref loss.py:260 update_emas=True).
+        # fakes come from the UPDATED G (sequential phases, like the
+        # reference which steps G before D in its phase list). Generation
+        # happens INSIDE the (microbatched) D loss: no grads flow through G
+        # there, so no residuals are recorded and fake-gen memory is bounded
+        # by the microbatch size.
         new_g_vars = {'params': g_params, 'consts': state.g_consts, 'ema': state.g_ema_coll}
-        if is_2d:
-            fake_out, fake_patch_params, new_ema_coll = losses.g_forward_2d(
-                G, new_g_vars, zd, cd, sched, k_dg, cfg, update_emas=True)
-            cam_post_d = camd
-        else:
-            fake_out, fake_patch_params, cam_post_d, new_ema_coll = losses.g_forward(
-                G, new_g_vars, zd, cd, camd, condd, sched, k_dg, cfg, update_emas=True)
-        fake_img = jax.lax.stop_gradient(fake_out.img)
-        fake_angles = jax.lax.stop_gradient(cam_post_d.angles)
+
+        # w_avg EMA update (ref loss.py:260 update_emas=True) — mapping-only
+        # pass over the full batch, independent of the fake microbatching
+        def ema_fwd(g):
+            if is_2d:
+                return g.mapping(zd, cd, update_emas=True, train=True)
+            return g.mapping(zd, cd, camera_angles=condd, update_emas=True,
+                             train=True)
+
+        _, ema_mut = G.apply(new_g_vars, method=ema_fwd, mutable=['ema'],
+                             rngs={'dropout': k_dg})
+        new_ema_coll = ema_mut['ema']
 
         real4 = losses.prepare_real_img(batch['img'], batch['depth'], sched, cfg)
         if cfg.generator.patch.enabled:
@@ -384,11 +399,22 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
 
         def d_loss_fn(d_params, md):
             d_vars = {'params': d_params}
+            kf = jax.random.fold_in(k_dg, md['idx'][0])
             ka1 = jax.random.fold_in(jax.random.fold_in(k_aug, 1), md['idx'][0])
             ka2 = jax.random.fold_in(jax.random.fold_in(k_aug, 2), md['idx'][0])
+            if is_2d:
+                fake_out, fpp, _ = losses.g_forward_2d(
+                    G, new_g_vars, md['zd'], md['cd'], sched, kf, cfg)
+                fake_angles = md['cam'].angles
+            else:
+                fake_out, fpp, cam_post, _ = losses.g_forward(
+                    G, new_g_vars, md['zd'], md['cd'], md['cam'], md['cond'],
+                    sched, kf, cfg)
+                fake_angles = jax.lax.stop_gradient(cam_post.angles)
+            fake_img = jax.lax.stop_gradient(fake_out.img)
             fake_logits, _ = losses.d_forward(
-                D, d_vars, md['fake_img'], md['cd'], sched, cfg,
-                patch_params=md.get('fpp'), camera_angles=md['fake_angles'],
+                D, d_vars, fake_img, md['cd'], sched, cfg,
+                patch_params=fpp, camera_angles=fake_angles,
                 augment_fn=augment_fn, rng=ka1)
             real_logits, real_feats = losses.d_forward(
                 D, d_vars, md['real'], md['c'], sched, cfg,
@@ -410,12 +436,10 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
                 aux['Loss/kd/D_loss'] = loss_kd
             return total, aux
 
-        d_md = {'fake_img': fake_img, 'fake_angles': fake_angles, 'cd': cd,
+        d_md = {'zd': zd, 'cd': cd, 'cam': camd, 'cond': condd,
                 'real': real_patches, 'c': batch['c'],
                 'angles': batch['camera_angles'], 'embs': batch['embs'],
                 'idx': jnp.arange(n, dtype=jnp.int32)}
-        if fake_patch_params is not None:
-            d_md['fpp'] = jax.lax.stop_gradient(fake_patch_params)
         if real_pp is not None:
             d_md['rpp'] = real_pp
         (d_loss, d_aux), d_grads = _microbatched_grad(

@@ -122,3 +122,50 @@ def test_eval_context_samplers_run():
     depth = ctx.make_depth_sampler()(2, 0)
     assert depth.shape[0] == 2 and depth.shape[-1] == 1
     assert np.all(np.isfinite(np.asarray(depth)))
+
+
+def test_multiprocess_feature_gather_semantics():
+    """Rank-strided dataset subsets + deterministic rank-interleaved gather
+    (ref metric_utils.py:145-155, :269): simulating 2 processes must cover
+    the same items as 1 process and in the interleaved order."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tdgp.metrics.features import compute_feature_stats_for_dataset
+
+    class DS:
+        name = 'fake'
+
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return {'image': np.full((4, 4, 3), i, np.uint8)}
+
+    def detector(images):
+        return jnp.asarray(images[:, 0, 0, :1], jnp.float32)  # feature = index
+
+    # single process reference
+    s1 = compute_feature_stats_for_dataset(
+        DS(), detector, batch_size=8, max_items=32, capture_all=True,
+        rank=0, num_shards=1)
+    ref_items = s1.get_all()[:, 0]
+
+    # two simulated processes: run each rank with a gather that interleaves
+    # this rank's features with the other rank's (computed analytically)
+    def make_gather(rank):
+        def gather(feats):
+            feats = np.asarray(feats)
+            other = feats[:, 0] + (1 if rank == 0 else -1)  # other rank's idx
+            both = np.empty((2 * len(feats), 1), np.float32)
+            both[rank::2, 0] = feats[:, 0]
+            both[1 - rank::2, 0] = other
+            return both
+        return gather
+
+    for rank in (0, 1):
+        s = compute_feature_stats_for_dataset(
+            DS(), detector, batch_size=8, max_items=32, capture_all=True,
+            rank=rank, num_shards=2, gather_fn=make_gather(rank))
+        got = np.sort(s.get_all()[:, 0])
+        assert np.array_equal(got, np.sort(ref_items)), (rank, got)

@@ -95,3 +95,64 @@ def test_grad_accumulation_microbatching():
         jax.tree.map(lambda a, b: float(np.abs(np.asarray(a - b)).sum()),
                      state.g_params, state2.g_params))
     assert delta > 0
+
+
+def test_custom_camera_distribution():
+    """'custom' camera dist (ref rendering_utils.py:187 + training_loop.py:305-312):
+    gen cameras use dataset-sampled angles delivered through the batch."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest as _pytest
+
+    from tdgp.config import tiny_test_config
+    from tdgp.rendering.camera import sample_camera_angles
+    from tdgp.training.loop import with_gen_conditioning
+    from tdgp.training.schedules import compute_schedules
+    from tdgp.training.train_step import create_train_state, make_jitted_train_steps
+    from tests.test_train_step import make_batch
+
+    cfg = tiny_test_config()
+    angles = dataclasses.replace(cfg.camera.origin.angles, dist='custom')
+    origin = dataclasses.replace(cfg.camera.origin, angles=angles)
+    camera = dataclasses.replace(cfg.camera, origin=origin)
+    # force-mean reg needs analytic mean angles -> undefined for 'custom'
+    # (ref rendering_utils.py get_mean_angles_values raises too)
+    cfg = dataclasses.replace(
+        cfg, camera=camera,
+        generator=dataclasses.replace(cfg.generator, camera=camera),
+        training=dataclasses.replace(cfg.training, learn_camera_dist=False))
+
+    # drawing angles without dataset angles must fail loudly
+    with _pytest.raises(ValueError, match='custom'):
+        sample_camera_angles(jax.random.PRNGKey(0), 
+                             {'dist': 'custom', 'yaw': {}, 'pitch': {}}, 4)
+
+    n = 4
+    state, G, D = create_train_state(cfg, seed=0, local_batch=n)
+    step_plain, _ = make_jitted_train_steps(cfg, G, D)
+    batch = make_batch(jax.random.PRNGKey(0), n)
+
+    # the gen-conditioning wrapper supplies the angles from a dataset
+    class FakeDataset:
+        def __len__(self):
+            return 7
+
+        def get_label(self, i):
+            lab = np.zeros(cfg.dataset.c_dim, np.float32)
+            lab[i % cfg.dataset.c_dim] = 1
+            return lab
+
+        def get_camera_angles(self, i):
+            return np.array([0.1 * i, np.pi / 2, 0.0], np.float32)
+
+    it = with_gen_conditioning(iter([dict(batch)]), FakeDataset(), cfg)
+    batch2 = next(it)
+    assert 'gen_camera_angles_g' in batch2 and 'gen_c_d' in batch2
+
+    sched = compute_schedules(cfg, cur_nimg=0)
+    state2, stats = step_plain(state, batch2, jax.random.PRNGKey(1), sched)
+    for k, v in stats.items():
+        assert np.isfinite(float(np.asarray(v))), k
