@@ -23,7 +23,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--config', default=None, help='YAML config overlay')
     ap.add_argument('--preset', default='default',
-                    choices=['default', 'imagenet', 'satellite', 'tiny'])
+                    choices=['default', 'imagenet', 'satellite', 'tiny', 'synth64', 'stylegan2'])
     ap.add_argument('--run-root', default='experiments')
     ap.add_argument('--desc', default=None)
     ap.add_argument('--dry-run', action='store_true')

@@ -388,6 +388,39 @@ def stylegan2_config(c_dim: int = 0, resolution: int = 256) -> Config:
                               use_embeddings=False))
 
 
+def synth_demo_config() -> Config:
+    """Small 64^2 config for the training-dynamics demo on the synthetic
+    sphere dataset (data_scripts/make_synthetic_dataset.py): full 3DGP
+    pipeline (patches, adaptors, R1) at sizes that train visibly within
+    an hour on one chip. KD is off (the synthetic set has no ResNet
+    embeddings)."""
+    cam = CameraConfig()
+    tri = TriPlaneCfg(res=128, feat_dim=16, mlp=TriPlaneMLPCfg(n_layers=2, hid_dim=32))
+    patch = PatchCfg(resolution=32, min_scale_trg=0.5, anneal_kimg=100,
+                     mbstd_group_size=4)
+    gen = GeneratorConfig(
+        z_dim=128, w_dim=128, c_dim=4, cbase=8192, cmax=256, img_resolution=64,
+        num_ray_steps=16, tri_plane=tri, patch=patch, camera=cam,
+        nerf_noise_kimg_growth=100,
+        depth_adaptor=DepthAdaptorCfg(hid_dim=16, num_hid_layers=2,
+                                      kernel_size=3, anneal_kimg=100),
+        camera_adaptor=CameraAdaptorCfg(z_dim=128, c_dim=4, hid_dim=64,
+                                        embed_dim=8))
+    disc = DiscriminatorConfig(
+        c_dim=4, cbase=8192, cmax=256, input_resolution=32, img_channels=4,
+        num_additional_start_blocks=1, mbstd_group_size=4, patch=patch,
+        embedding_dim=0)
+    return Config(
+        camera=cam, generator=gen, discriminator=disc,
+        loss=LossConfig(r1_gamma=0.1, kd=KDCfg(weight=0.0),
+                        blur_fade_kimg=20),
+        training=TrainingConfig(batch_size=32, ema_kimg=10.0, tick_kimg=2,
+                                snap=5, image_snap=5, val_freq=5,
+                                metrics=('fid2k_full',)),
+        dataset=DatasetConfig(resolution=64, c_dim=4, use_embeddings=False),
+    )
+
+
 def tiny_test_config() -> Config:
     """A miniature config for unit tests / CI: everything shrunk."""
     cam = CameraConfig()

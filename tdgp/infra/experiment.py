@@ -68,6 +68,7 @@ PRESETS = {
     'satellite': config_mod.satellite_config,
     'stylegan2': config_mod.stylegan2_config,
     'tiny': config_mod.tiny_test_config,
+    'synth64': config_mod.synth_demo_config,
 }
 
 
