@@ -104,7 +104,8 @@ def main():
     # own process: a failed/OOMed attempt fragments HBM and poisons later
     # attempts in the same process.
     result = None
-    for batch_size, batch_gpu in ((32, 8), (16, 8), (16, None), (8, None), (4, None)):
+    for batch_size, batch_gpu in ((32, 8), (16, 8), (16, 4), (8, 4),
+                                  (8, None), (4, None)):
         cmd = [sys.executable, os.path.abspath(__file__), '--single',
                str(batch_size), 'none' if batch_gpu is None else str(batch_gpu)]
         try:

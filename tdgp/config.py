@@ -210,6 +210,15 @@ class GeneratorConfig:
     # tri-plane sampling implementation: 'auto' selects the Pallas splat
     # backward (tdgp/ops/splat.py) on TPU, pure-jnp elsewhere
     plane_sample_impl: str = 'auto'
+    # forward gather packing (ops/splat.py): 'pair' halves the gather row
+    # count for a 2x-planes transient table; 'quad' quarters it (4x table);
+    # 'none' is the plain 4-corner gather. Measured 4.4x/6.9x gather
+    # speedups on v5e (scripts/testing/probe_pair_gather.py).
+    plane_pack: str = 'pair'
+    # ray-march implementation: 'auto' selects the fused Pallas integration
+    # kernel (ops/pallas_kernels.py:ray_march_fused) on TPU for the classical
+    # marcher, pure-jnp elsewhere / for eval-only render features
+    ray_march_impl: str = 'auto'
 
 
 @dataclass(frozen=True)

@@ -46,7 +46,7 @@ def flatten_planes(planes: jnp.ndarray) -> jnp.ndarray:
 
 
 def tri_plane_sample(planes, coords: jnp.ndarray, scale: float,
-                     impl: str = 'jnp') -> jnp.ndarray:
+                     impl: str = 'jnp', pack: str = 'pair') -> jnp.ndarray:
     """Sample 3 axis-aligned planes at 3D points and average them
     (ref tri_plane_renderer.py:560-585 + the MLP's plane-mean, networks_epigraf.py:54).
 
@@ -71,7 +71,7 @@ def tri_plane_sample(planes, coords: jnp.ndarray, scale: float,
         impl = 'fused' if (on_tpu and w % 128 == 0 and h % 2 == 0) else 'jnp'
     if impl in ('fused', 'fused_interpret'):
         return triplane_sample_fused(planes, coords, scale,
-                                     impl == 'fused_interpret')
+                                     impl == 'fused_interpret', pack)
     assert impl == 'jnp', impl
     coords = coords / scale
     # plane projections: x/y, x/z, y/z (ref :577-581)
@@ -142,18 +142,37 @@ class SynthesisNetwork(nn.Module):
 
     def _render_opts(self, cut_quantile: float = 0.0) -> RenderOptions:
         c = self.cfg
+        march_impl = c.ray_march_impl
+        if march_impl == 'auto':
+            # measured on v5e (scripts/testing/probe_ray_march_fused.py): the
+            # Pallas marcher and the XLA-fused jnp marcher run at identical
+            # speed (~31 ms/call at 32k rays x 64 steps — both call-overhead/
+            # HBM bound), while the Mosaic compile costs ~3 min per shape.
+            # 'auto' therefore resolves to 'jnp'; 'fused' stays selectable.
+            march_impl = 'jnp'
         return RenderOptions(
             num_proposal_steps=c.num_ray_steps, num_fine_steps=c.num_ray_steps,
             ray_start=c.camera.ray.start, ray_end=c.camera.ray.end,
             box_size=c.camera.cube_scale * 2, ray_marcher_type=c.ray_marcher_type,
             clamp_mode=c.clamp_mode, use_inf_depth=c.use_inf_depth,
             last_back=c.last_back, white_back=c.white_back,
-            density_bias=c.density_bias, cut_quantile=cut_quantile)
+            density_bias=c.density_bias, cut_quantile=cut_quantile,
+            march_impl=march_impl)
 
     def decode_planes(self, ws: jnp.ndarray, noise_mode: str = 'random') -> jnp.ndarray:
-        """ws -> [N, H, W, 3, F] tri-planes."""
+        """ws -> [N, H, W, 3, F] tri-planes.
+
+        The SG2 stack is rematerialized in the backward pass: its forward is
+        ~57 ms (healthy MXU utilization) while its saved activations are
+        multiple GB at 512² — the planes themselves are the only residual
+        worth keeping (same reasoning as the render-closure remat below).
+        """
         c = self.cfg
-        out = self.tri_plane_decoder(ws[:, :self.num_ws], noise_mode=noise_mode)
+
+        def run(dec, ws_):
+            return dec(ws_, noise_mode=noise_mode)
+
+        out = nn.remat(run)(self.tri_plane_decoder, ws[:, :self.num_ws])
         n, h, w, _ = out.shape
         return out.reshape(n, h, w, 3, c.tri_plane.feat_dim)
 
@@ -168,7 +187,8 @@ class SynthesisNetwork(nn.Module):
         (ref networks_epigraf.py:196-208). coords: [N, P, 3] -> sigma [N, P]."""
         planes = self.decode_planes(ws, noise_mode=noise_mode)
         feats = tri_plane_sample(planes, coords, scale=self.cfg.camera.cube_scale,
-                                 impl=self.cfg.plane_sample_impl)
+                                 impl=self.cfg.plane_sample_impl,
+                                 pack=self.cfg.plane_pack)
         _, sigma = self.tri_plane_mlp(feats)
         return sigma
 
@@ -206,7 +226,7 @@ class SynthesisNetwork(nn.Module):
         # trades cheap FLOPs for the dominant HBM cost of training.
         def _run(mlp, planes_, coords):
             feats = tri_plane_sample(planes_, coords, scale=c.camera.cube_scale,
-                                     impl=c.plane_sample_impl)
+                                     impl=c.plane_sample_impl, pack=c.plane_pack)
             return mlp(feats)
 
         _run_remat = nn.remat(_run)

@@ -87,7 +87,9 @@ def _ray_march_kernel(colors_ref, densities_ref, depths_ref,
                       rgb_ref, depth_ref, wsum_ref, ftrans_ref, *,
                       clamp_mode: str, sp_beta: float, last_delta: float,
                       last_back: bool):
-    """One tile: colors [R, S, C], densities [R, S], depths [R, S]."""
+    """One tile: colors [C, R, S] (channel-major — a trailing C dim of 3-4
+    would pad to 128 lanes and blow the VMEM budget 32x), densities [R, S],
+    depths [R, S]."""
     densities = densities_ref[:]
     depths = depths_ref[:]
     colors = colors_ref[:]
@@ -125,7 +127,7 @@ def _ray_march_kernel(colors_ref, densities_ref, depths_ref,
         correction = jnp.zeros_like(weights).at[:, -1].set((1.0 - wsum)[:, 0])
         weights = weights + correction
 
-    rgb_ref[:] = jnp.sum(weights[:, :, None] * colors, axis=1)
+    rgb_ref[:] = jnp.sum(weights[None, :, :] * colors, axis=2)  # [C, R]
     depth_ref[:] = jnp.sum(weights * depths, axis=1, keepdims=True)
     wsum_ref[:] = jnp.sum(weights, axis=1, keepdims=True)
     ftrans_ref[:] = trans_incl[:, -1:]
@@ -141,13 +143,19 @@ def ray_march_pallas(colors: jnp.ndarray, densities: jnp.ndarray,
 
     colors [B,R,S,C], densities [B,R,S], depths [B,R,S] ->
     (rgb [B,R,C], depth [B,R], weights_sum [B,R], final_transmittance [B,R]).
-    Matches tdgp.rendering.renderer.classical_ray_march (no cut_quantile /
-    fill modes — those are eval-only paths that stay in jnp).
+    Matches tdgp.rendering.renderer.classical_ray_march with the per-sample
+    weights pre-reduced (full [B,R,S] weights as a kernel output would push
+    the result tuple over the scoped-VMEM limit at production ray counts; the
+    only consumer of the full weights is the coarse-pass importance sampler,
+    which stays on the jnp marcher). No cut_quantile / fill modes — those are
+    eval-only paths that stay in jnp.
     """
     b, r_rays, s = densities.shape
     c = colors.shape[-1]
     n = b * r_rays
-    colors2 = colors.reshape(n, s, c)
+    # channel-major colors: [C, N, S] keeps the big dims on the (sublane,
+    # lane) tiling; rgb comes back [C, N] and is transposed outside
+    colors_cm = colors.reshape(n, s, c).transpose(2, 0, 1)
     densities2 = densities.reshape(n, s)
     depths2 = depths.reshape(n, s)
     last_delta = 1e10 if use_inf_depth else 1e-3
@@ -160,27 +168,136 @@ def ray_march_pallas(colors: jnp.ndarray, densities: jnp.ndarray,
     rgb, depth, wsum, ftrans = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, n), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ray_tile, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, ray_tile, s), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ray_tile, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ray_tile, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((ray_tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((ray_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ray_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ray_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
-    )(colors2.astype(jnp.float32), densities2.astype(jnp.float32),
+    )(colors_cm.astype(jnp.float32), densities2.astype(jnp.float32),
       depths2.astype(jnp.float32))
-    return (rgb.reshape(b, r_rays, c), depth.reshape(b, r_rays),
+    return (rgb.T.reshape(b, r_rays, c), depth.reshape(b, r_rays),
             wsum.reshape(b, r_rays), ftrans.reshape(b, r_rays))
+
+
+# ----------------------------------------- ray marcher custom VJP (1st order)
+
+def _march_pieces(densities, depths, *, clamp_mode, sp_beta, last_delta):
+    """Recompute the integration intermediates from the saved inputs
+    (cheap [N,S] elementwise + one cumsum — the remat-style backward)."""
+    deltas = depths[:, 1:] - depths[:, :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.full_like(deltas[:, :1], last_delta)], axis=1)
+    if clamp_mode == 'softplus':
+        sigma = jax.nn.softplus(sp_beta * densities) / sp_beta
+        dsigma = jax.nn.sigmoid(sp_beta * densities)
+    else:
+        sigma = jnp.maximum(densities, 0.0)
+        dsigma = (densities > 0).astype(densities.dtype)
+    f = jnp.exp(-deltas * sigma)
+    fe = f + 1e-10
+    trans_incl = jnp.cumprod(fe, axis=-1)
+    t_excl = jnp.concatenate([jnp.ones_like(trans_incl[:, :1]),
+                              trans_incl[:, :-1]], axis=1)
+    w = (1.0 - f) * t_excl
+    return deltas, sigma, dsigma, f, fe, t_excl, trans_incl, w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def ray_march_fused(colors: jnp.ndarray, densities: jnp.ndarray,
+                    depths: jnp.ndarray, clamp_mode: str = 'softplus',
+                    sp_beta: float = 1.0, use_inf_depth: bool = True,
+                    last_back: bool = False):
+    """`ray_march_pallas` with an analytic 1st-order VJP.
+
+    Returns (rgb [B,R,C], depth [B,R], weights_sum [B,R], ftrans [B,R]).
+
+    The renderer only needs 1st-order gradients (R1 differentiates D, not the
+    renderer; PL reg differentiates G outputs wrt w — ref loss.py:238-253), so
+    the Pallas forward pairs with a closed-form jnp backward:
+
+        w_i = (1 - f_i) * prod_{j<i} f_j,   f_i = exp(-delta_i * sigma_i)
+        d w_k / d f_i = w_k / f_i           (k > i, through the prefix product)
+                      = -T_i                (k = i)
+
+    giving per-sample gf_i = -G_i T_i + (suffix_i + g_ft * ftrans) / f_i with
+    one reversed cumsum for the suffix — all VPU-shaped [N,S] elementwise work,
+    no big matmuls, no saved [B,R,S] forward intermediates (recomputed from
+    the inputs like the jnp path's remat would).
+    """
+    return ray_march_pallas(colors, densities, depths, clamp_mode=clamp_mode,
+                            sp_beta=sp_beta, use_inf_depth=use_inf_depth,
+                            last_back=last_back)
+
+
+def _ray_march_fwd(colors, densities, depths, clamp_mode, sp_beta,
+                   use_inf_depth, last_back):
+    out = ray_march_fused(colors, densities, depths, clamp_mode, sp_beta,
+                          use_inf_depth, last_back)
+    return out, (colors, densities, depths)
+
+
+def _ray_march_bwd(clamp_mode, sp_beta, use_inf_depth, last_back, res, gs):
+    colors, densities, depths = res
+    g_rgb, g_depth, g_wsum, g_ftrans = gs
+    b, r, s = densities.shape
+    c = colors.shape[-1]
+    n = b * r
+    colors2 = colors.reshape(n, s, c).astype(jnp.float32)
+    densities2 = densities.reshape(n, s).astype(jnp.float32)
+    depths2 = depths.reshape(n, s).astype(jnp.float32)
+    g_rgb2 = g_rgb.reshape(n, c).astype(jnp.float32)
+    g_depth2 = g_depth.reshape(n, 1).astype(jnp.float32)
+    g_w2 = g_wsum.reshape(n, 1).astype(jnp.float32)  # broadcasts over samples
+    g_ft2 = g_ftrans.reshape(n, 1).astype(jnp.float32)
+    last_delta = 1e10 if use_inf_depth else 1e-3
+
+    deltas, sigma, dsigma, f, fe, t_excl, trans_incl, w = _march_pieces(
+        densities2, depths2, clamp_mode=clamp_mode, sp_beta=sp_beta,
+        last_delta=last_delta)
+    if last_back:
+        w_corr = w.at[:, -1].add(1.0 - jnp.sum(w, axis=-1))
+    else:
+        w_corr = w
+
+    # a_i = d(outputs)/d(corrected w_i) contracted with the cotangents
+    a = (jnp.einsum('nsc,nc->ns', colors2, g_rgb2) + depths2 * g_depth2 + g_w2)
+    if last_back:
+        # w'_k = w_k + [k=S-1](1 - sum_j w_j)  =>  cot(w_i) = a_i - a_{S-1}
+        g_uncorr = a - a[:, -1:]
+        g_uncorr = g_uncorr.at[:, -1].set(0.0)
+    else:
+        g_uncorr = a
+
+    gw = g_uncorr * w
+    suffix = jnp.cumsum(gw[:, ::-1], axis=-1)[:, ::-1] - gw       # sum_{k>i}
+    ftrans = trans_incl[:, -1:]
+    gf = -g_uncorr * t_excl + (suffix + g_ft2 * ftrans) / fe
+    g_sigma = gf * (-deltas * f)
+    g_densities = (g_sigma * dsigma).reshape(b, r, s).astype(densities.dtype)
+    g_colors = (w_corr[:, :, None] * g_rgb2[:, None, :]).reshape(
+        b, r, s, c).astype(colors.dtype)
+
+    g_delta = gf * (-sigma * f)                                   # [N, S]
+    g_depths2 = w_corr * g_depth2
+    g_depths2 = g_depths2.at[:, :-1].add(-g_delta[:, :-1])
+    g_depths2 = g_depths2.at[:, 1:].add(g_delta[:, :-1])
+    g_depths = g_depths2.reshape(b, r, s).astype(depths.dtype)
+    return g_colors, g_densities, g_depths
+
+
+ray_march_fused.defvjp(_ray_march_fwd, _ray_march_bwd)
 
 
 # -------------------------------------------------- fused tri-plane MLP

@@ -268,51 +268,143 @@ def triplane_splat_ref(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
 
 # ------------------------------------------------- fused sample (custom VJP)
 
-def _sample_fwd_impl(planes_flat: jnp.ndarray, coords: jnp.ndarray, scale: float):
-    """Forward gather: flat single-table 4-corner gather + plane mean
-    (the measured-fastest XLA form, see ops/grid_sample.py notes)."""
+def _build_quad_table(planes_flat: jnp.ndarray) -> jnp.ndarray:
+    """Pack every 2x2 texel block (all four parities) into one table row.
+
+    A bilinear footprint (y0..y0+1, x0..x0+1) is exactly one 2x2 block at
+    parity (y0&1, x0&1) — so with four parity-shifted block views, the four
+    corner values of any sample point live in ONE [4F] row and the 4-corner
+    gather collapses to a single take. Measured on the v5e
+    (scripts/testing/probe_pair_gather.py): the XLA gather costs ~40 ns/ROW
+    regardless of row width, so quad rows run the same sweep in 76 ms vs
+    523 ms row-per-corner, and the table build is ~75 ms (rebuilt under the
+    render remat — no steady-state memory cost).
+
+    Returns [4 * N3 * (H/2+1) * (W/2+1), 4F]; row layout (c00,c01,c10,c11).
+    """
+    n3, H, W, F = planes_flat.shape
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    hb, wb = H // 2 + 1, W // 2 + 1
+    # +1 front pad: y0 = -1 footprints resolve to a real (zero) block; the
+    # zero padding doubles as the out-of-range corner value (weights for
+    # invalid corners are already masked to 0, values just must be finite)
+    padded = jnp.pad(planes_flat, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    tabs = []
+    for py in (0, 1):
+        for px in (0, 1):
+            sub = padded[:, py:py + 2 * hb, px:px + 2 * wb, :]
+            v = sub.reshape(n3, hb, 2, wb, 2, F).transpose(0, 1, 3, 2, 4, 5)
+            tabs.append(v.reshape(n3 * hb * wb, 4 * F))
+    return jnp.concatenate(tabs, axis=0)
+
+
+def _build_pair_table(planes_flat: jnp.ndarray) -> jnp.ndarray:
+    """Pack x-adjacent texel pairs (both parities) into one table row.
+
+    The half-memory sibling of _build_quad_table: a bilinear footprint's two
+    x-adjacent corners live in one [2F] row, so the 4-corner gather becomes
+    TWO takes (rows y0 and y0+1). Measured (probe_pair_gather.py): 119 ms vs
+    523 ms per sweep; table is 2x the planes (vs quad's 4x) — the middle
+    point on the speed/HBM tradeoff.
+
+    Returns [2 * N3 * H * (W/2+1), 2F]; row layout (c_x0, c_x0+1).
+    """
+    n3, H, W, F = planes_flat.shape
+    assert W % 2 == 0, W
+    wb = W // 2 + 1
+    padded = jnp.pad(planes_flat, ((0, 0), (0, 0), (1, 2), (0, 0)))
+    tabs = []
+    for px in (0, 1):
+        sub = padded[:, :, px:px + 2 * wb, :]
+        tabs.append(sub.reshape(n3 * H * wb, 2 * F))
+    return jnp.concatenate(tabs, axis=0)
+
+
+def _sample_fwd_impl(planes_flat: jnp.ndarray, coords: jnp.ndarray, scale: float,
+                     pack: str = 'pair'):
+    """Forward gather + plane mean.
+
+    pack: 'quad' — one [4F] row per (plane, point), fastest, 4x-planes table;
+          'pair' — two [2F] rows, 4.4x faster than 'none', 2x-planes table;
+          'none' — plain flat-table 4-corner gather (one [F] row per corner).
+    """
     n3, H, W, F = planes_flat.shape
     n = n3 // 3
     P = coords.shape[1]
     gx, gy = _pixel_coords(coords, scale, H, W)
     x0i, y0i, _tx, _ty, _ms, ws = _corner_meta(gx, gy, H, W)
 
-    flat = planes_flat.reshape(n3 * H * W, F)
-    base = (jnp.arange(n3, dtype=jnp.int32) * (H * W))[:, None]
+    if pack == 'quad':
+        table = _build_quad_table(planes_flat)
+        hb, wb = H // 2 + 1, W // 2 + 1
+        pid = jnp.arange(n3, dtype=jnp.int32)[:, None]               # [N3, 1]
+        Y = jnp.clip(y0i + 1, 0, H)     # offset into the front-padded grid
+        X = jnp.clip(x0i + 1, 0, W)
+        parity = (Y & 1) * 2 + (X & 1)
+        idx = ((parity * n3 + pid) * (hb * wb) + (Y >> 1) * wb + (X >> 1))
+        vals4 = jnp.take(table, idx.reshape(-1), axis=0).reshape(n3, P, 4, F)
+        feats = (ws[0][..., None] * vals4[:, :, 0] + ws[1][..., None] * vals4[:, :, 1]
+                 + ws[2][..., None] * vals4[:, :, 2] + ws[3][..., None] * vals4[:, :, 3])
+    elif pack == 'pair':
+        table = _build_pair_table(planes_flat)
+        wb = W // 2 + 1
+        pid = jnp.arange(n3, dtype=jnp.int32)[:, None]               # [N3, 1]
+        X = jnp.clip(x0i + 1, 0, W)
+        px = X & 1
+        qx = X >> 1
+        y_top = jnp.clip(y0i, 0, H - 1)
+        y_bot = jnp.clip(y0i + 1, 0, H - 1)
+        base = (px * n3 + pid) * (H * wb) + qx
+        idx2 = jnp.concatenate([base + y_top * wb, base + y_bot * wb], axis=1)
+        v = jnp.take(table, idx2.reshape(-1), axis=0).reshape(n3, 2, P, 2 * F)
+        vt, vb = v[:, 0], v[:, 1]                                    # [N3,P,2F]
+        feats = (ws[0][..., None] * vt[..., :F] + ws[1][..., None] * vt[..., F:]
+                 + ws[2][..., None] * vb[..., :F] + ws[3][..., None] * vb[..., F:])
+        vals4 = jnp.stack([vt[..., :F], vt[..., F:], vb[..., :F], vb[..., F:]],
+                          axis=2)                                    # [N3,P,4,F]
+    elif pack == 'none':
+        flat = planes_flat.reshape(n3 * H * W, F)
+        base = (jnp.arange(n3, dtype=jnp.int32) * (H * W))[:, None]
 
-    def cidx(dy, dx):
-        yi = jnp.clip(y0i + dy, 0, H - 1)
-        xi = jnp.clip(x0i + dx, 0, W - 1)
-        return yi * W + xi + base
+        def cidx(dy, dx):
+            yi = jnp.clip(y0i + dy, 0, H - 1)
+            xi = jnp.clip(x0i + dx, 0, W - 1)
+            return yi * W + xi + base
 
-    idx4 = jnp.concatenate([cidx(0, 0), cidx(0, 1), cidx(1, 0), cidx(1, 1)],
-                           axis=1)                                   # [N3, 4P]
-    vals4 = jnp.take(flat, idx4.reshape(-1), axis=0).reshape(n3, 4, P, F)
+        idx4 = jnp.concatenate([cidx(0, 0), cidx(0, 1), cidx(1, 0), cidx(1, 1)],
+                               axis=1)                               # [N3, 4P]
+        vals = jnp.take(flat, idx4.reshape(-1), axis=0).reshape(n3, 4, P, F)
+        feats = (ws[0][..., None] * vals[:, 0] + ws[1][..., None] * vals[:, 1]
+                 + ws[2][..., None] * vals[:, 2] + ws[3][..., None] * vals[:, 3])
+        vals4 = vals.transpose(0, 2, 1, 3)                           # [N3,P,4,F]
+    else:
+        raise ValueError(f'unknown pack mode: {pack!r}')
 
-    feats = (ws[0][..., None] * vals4[:, 0] + ws[1][..., None] * vals4[:, 1]
-             + ws[2][..., None] * vals4[:, 2] + ws[3][..., None] * vals4[:, 3])
     out = jnp.mean(feats.reshape(n, 3, P, F), axis=1)
     return out.astype(planes_flat.dtype), vals4
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def triplane_sample_fused(planes_flat: jnp.ndarray, coords: jnp.ndarray,
-                          scale: float, interpret: bool = False) -> jnp.ndarray:
+                          scale: float, interpret: bool = False,
+                          pack: str = 'pair') -> jnp.ndarray:
     """Tri-plane sampling with a Pallas splat backward.
 
     planes_flat: [N*3, H, W, F]; coords: [N, P, 3] world coords.
     Returns plane-mean features [N, P, F] (== tri_plane_sample).
+    pack: 'quad' | 'pair' | 'none' forward gather layout (see
+    _build_quad_table / _build_pair_table).
     """
-    out, _ = _sample_fwd_impl(planes_flat, coords, scale)
+    out, _ = _sample_fwd_impl(planes_flat, coords, scale, pack)
     return out
 
 
-def _sample_fwd(planes_flat, coords, scale, interpret):
-    out, vals4 = _sample_fwd_impl(planes_flat, coords, scale)
+def _sample_fwd(planes_flat, coords, scale, interpret, pack):
+    out, vals4 = _sample_fwd_impl(planes_flat, coords, scale, pack)
     return out, (vals4, coords, planes_flat.shape)
 
 
-def _sample_bwd(scale, interpret, res, g):
+def _sample_bwd(scale, interpret, pack, res, g):
     vals4, coords, (n3, H, W, F) = res
     n = n3 // 3
     P = coords.shape[1]
@@ -323,9 +415,10 @@ def _sample_bwd(scale, interpret, res, g):
     gp = jnp.broadcast_to((g / 3.0)[:, None], (n, 3, P, F)).reshape(n3, P, F)
     gp = gp.astype(jnp.float32)
 
-    # --- d/d coords (elementwise over the saved corner values)
+    # --- d/d coords (elementwise over the saved corner values [N3, P, 4, F])
     m00, m01, m10, m11 = ms
-    v00, v01, v10, v11 = (vals4[:, 0], vals4[:, 1], vals4[:, 2], vals4[:, 3])
+    v00, v01, v10, v11 = (vals4[:, :, 0], vals4[:, :, 1],
+                          vals4[:, :, 2], vals4[:, :, 3])
     one = jnp.float32(1.0)
     dtx = jnp.sum(gp * ((one - ty)[..., None] * (m01[..., None] * v01 - m00[..., None] * v00)
                         + ty[..., None] * (m11[..., None] * v11 - m10[..., None] * v10)),

@@ -44,6 +44,9 @@ class RenderOptions:
     density_bias: float = 0.0
     cut_quantile: float = 0.0
     fill_mode: Optional[str] = None  # None | 'debug' | 'weight'
+    # 'jnp' | 'fused' (Pallas one-pass VMEM integration, ops/pallas_kernels.py)
+    # — callers resolve 'auto' to one of these before building RenderOptions
+    march_impl: str = 'jnp'
 
 
 # ----------------------------------------------------------- ray marchers
@@ -143,6 +146,25 @@ def _march(colors, densities, depths, opts: RenderOptions):
     if opts.ray_marcher_type == 'mip':
         return mip_ray_march(colors, densities, depths, opts)
     raise NotImplementedError(opts.ray_marcher_type)
+
+
+def _march_reduced(colors, densities, depths, opts: RenderOptions):
+    """Final-pass march returning (rgb, depth, weights_SUM, ftrans).
+
+    The fused Pallas integration kernel (one VMEM pass, no [B,R,S] HBM
+    intermediates, analytic 1st-order VJP) applies here: the per-sample
+    weights of the final march are only ever consumed as their ray-sum.
+    Eval-only features (quantile cut, fill modes, white_back head) and the
+    mip marcher stay on the jnp path.
+    """
+    if (opts.march_impl == 'fused' and opts.ray_marcher_type == 'classical'
+            and opts.cut_quantile == 0.0 and opts.fill_mode is None
+            and opts.white_back_end_idx == 0):
+        from tdgp.ops.pallas_kernels import ray_march_fused
+        return ray_march_fused(colors, densities, depths, opts.clamp_mode,
+                               opts.sp_beta, opts.use_inf_depth, opts.last_back)
+    rgb, depth, weights, ftrans = _march(colors, densities, depths, opts)
+    return rgb, depth, jnp.sum(weights, axis=-1), ftrans
 
 
 # ------------------------------------------------------------ sampling
@@ -336,10 +358,10 @@ def importance_render(run_model: RunModelFn, ray_origins: jnp.ndarray,
         all_depths, all_colors, all_densities = unify_samples_sorted(
             tdist_coarse, colors_coarse, densities_coarse,
             tdist_fine, colors_fine, densities_fine)
-        rgb_final, depth_final, weights, final_transmittance = _march(
+        rgb_final, depth_final, weights_sum, final_transmittance = _march_reduced(
             all_colors, all_densities, all_depths, opts)
     else:
-        rgb_final, depth_final, weights, final_transmittance = _march(
+        rgb_final, depth_final, weights_sum, final_transmittance = _march_reduced(
             colors_coarse, densities_coarse, sdist_coarse, opts)
 
-    return rgb_final, depth_final, jnp.sum(weights, axis=-1), final_transmittance
+    return rgb_final, depth_final, weights_sum, final_transmittance

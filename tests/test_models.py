@@ -185,3 +185,29 @@ def test_patch_params_group_replication():
     assert s.min() >= 0.25 - 1e-6 and s.max() <= 1.0 + 1e-6
     o = np.asarray(pp['offsets'])
     assert np.all(o >= 0) and np.all(o <= 1 - s + 1e-6)
+
+
+def test_generator_fused_ray_march_matches_jnp():
+    """Full-G parity between the jnp marcher and the fused Pallas marcher
+    (interpret mode off-TPU) — the training path default on TPU."""
+    import dataclasses
+    from jax.experimental.pallas import tpu as pltpu
+    n = 2
+    z, c, cam = make_inputs(n)
+    g_jnp = Generator(dataclasses.replace(CFG.generator, ray_march_impl='jnp'))
+    g_fused = Generator(dataclasses.replace(CFG.generator, ray_march_impl='fused'))
+    variables = g_jnp.init(init_rngs(), z, c, cam, camera_angles_cond=cam.angles,
+                           train=True)
+    img_ref = g_jnp.apply(variables, z, c, cam, camera_angles_cond=cam.angles,
+                          train=False, noise_mode='const')
+    if jax.devices()[0].platform != 'tpu':
+        with pltpu.force_tpu_interpret_mode():
+            img_fused = g_fused.apply(variables, z, c, cam,
+                                      camera_angles_cond=cam.angles,
+                                      train=False, noise_mode='const')
+    else:
+        img_fused = g_fused.apply(variables, z, c, cam,
+                                  camera_angles_cond=cam.angles,
+                                  train=False, noise_mode='const')
+    np.testing.assert_allclose(np.asarray(img_fused), np.asarray(img_ref),
+                               rtol=2e-4, atol=2e-4)

@@ -54,19 +54,21 @@ def test_splat_kernel_vs_scatter_ref(setup):
     assert np.abs(np.asarray(ref)).max() > 0  # non-trivial case
 
 
-def test_fused_forward_matches_jnp(setup):
+@pytest.mark.parametrize('pack', ['quad', 'pair', 'none'])
+def test_fused_forward_matches_jnp(setup, pack):
     planes, coords, _, scale = setup
-    out = triplane_sample_fused(planes, coords, scale, True)
+    out = triplane_sample_fused(planes, coords, scale, True, pack)
     ref = _tri_plane_sample_jnp(planes, coords, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
 
 
-def test_fused_grads_match_jnp_autodiff(setup):
+@pytest.mark.parametrize('pack', ['quad', 'pair', 'none'])
+def test_fused_grads_match_jnp_autodiff(setup, pack):
     planes, coords, _, scale = setup
 
     def loss_fused(pl_, co_):
-        y = triplane_sample_fused(pl_, co_, scale, True)
+        y = triplane_sample_fused(pl_, co_, scale, True, pack)
         return jnp.sum(jnp.sin(y) * y)
 
     def loss_jnp(pl_, co_):
