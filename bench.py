@@ -47,10 +47,15 @@ def run_bench(batch_size: int, batch_gpu=None):
     from tdgp.training.train_step import create_train_state, make_jitted_train_steps
 
     import dataclasses
+    import os
     cfg = satellite_config(c_dim=0, resolution=256)
     if batch_gpu:
         cfg = dataclasses.replace(
             cfg, training=dataclasses.replace(cfg.training, batch_gpu=batch_gpu))
+    pack = os.environ.get('TDGP_PLANE_PACK')  # experimentation knob
+    if pack:
+        cfg = dataclasses.replace(
+            cfg, generator=dataclasses.replace(cfg.generator, plane_pack=pack))
     state, G, D = create_train_state(cfg, seed=0, local_batch=batch_size)
     step_plain, step_r1 = make_jitted_train_steps(cfg, G, D)
 

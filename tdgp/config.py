@@ -299,6 +299,10 @@ class AugmentCfg:
     lumaflip: float = 1.0
     hue: float = 1.0
     saturation: float = 1.0
+    # ref augment.py defaults — 0 in every shipped 3DGP config, selectable
+    imgfilter: float = 0.0
+    noise: float = 0.0
+    cutout: float = 0.0
 
 
 @dataclass(frozen=True)

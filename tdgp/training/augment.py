@@ -37,6 +37,27 @@ SYM6 = np.asarray([
     0.04472490177066578, 0.0017677118642428036, -0.007800708325034148,
 ], dtype=np.float32)
 
+# sym2 lowpass — basis of the 4-band image-filter bank (ref augment.py:36,
+# 175-184)
+SYM2 = np.asarray([-0.12940952255092145, 0.22414386804185735,
+                   0.836516303737469, 0.48296291314469025], dtype=np.float32)
+
+
+def _build_fbank() -> np.ndarray:
+    """4-band wavelet filter bank Hz_fbank (ref augment.py:175-184)."""
+    import scipy.signal
+    hz_lo = SYM2.astype(np.float64)
+    hz_hi = hz_lo * ((-1) ** np.arange(hz_lo.size))
+    hz_lo2 = np.convolve(hz_lo, hz_lo[::-1]) / 2
+    hz_hi2 = np.convolve(hz_hi, hz_hi[::-1]) / 2
+    fbank = np.eye(4, 1)
+    for i in range(1, fbank.shape[0]):
+        fbank = np.dstack([fbank, np.zeros_like(fbank)]).reshape(fbank.shape[0], -1)[:, :-1]
+        fbank = scipy.signal.convolve(fbank, [hz_lo2])
+        fbank[i, (fbank.shape[1] - hz_hi2.size) // 2:
+              (fbank.shape[1] + hz_hi2.size) // 2] += hz_hi2
+    return fbank.astype(np.float32)
+
 
 def _translate2d(tx, ty):
     b = tx.shape[0]
@@ -99,7 +120,9 @@ class AugmentPipe:
                  xfrac_std: float = 0.125, brightness_std: float = 0.2,
                  contrast_std: float = 0.5, hue_max: float = 1.0,
                  saturation_std: float = 1.0, noise_std: float = 0.1,
-                 cutout_size: float = 0.5):
+                 cutout_size: float = 0.5,
+                 imgfilter_bands=(1.0, 1.0, 1.0, 1.0),
+                 imgfilter_std: float = 1.0):
         self.cfg = cfg
         self.num_color_channels = num_color_channels
         self.xint_max = xint_max
@@ -113,12 +136,15 @@ class AugmentPipe:
         self.saturation_std = saturation_std
         self.noise_std = noise_std
         self.cutout_size = cutout_size
+        self.imgfilter_bands = tuple(imgfilter_bands)
+        self.imgfilter_std = imgfilter_std
         self.hz_geom = setup_filter(SYM6)
+        self.hz_fbank = jnp.asarray(_build_fbank()) if cfg.imgfilter > 0 else None
 
     def __call__(self, images: jnp.ndarray, p: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
         cfg = self.cfg
         n, h, w, c = images.shape
-        keys = iter(jax.random.split(rng, 24))
+        keys = iter(jax.random.split(rng, 40))
 
         def gate(key, prob_weight, value, identity):
             """Apply `value` with probability weight*p, else identity."""
@@ -191,7 +217,67 @@ class AugmentPipe:
             c_mat = (vvt + (jnp.eye(4) - vvt) * s[:, None, None]) @ c_mat
 
         images = self._execute_color(images, c_mat)
+
+        # ---------------- image-space filtering (ref :385-413)
+        if cfg.imgfilter > 0:
+            num_bands = self.hz_fbank.shape[0]
+            assert len(self.imgfilter_bands) == num_bands
+            expected_power = jnp.asarray(np.array([10, 1, 1, 1]) / 13,
+                                         dtype=jnp.float32)
+            gvec = jnp.ones((n, num_bands))
+            for i, band_strength in enumerate(self.imgfilter_bands):
+                t_i = jnp.exp2(jax.random.normal(next(keys), (n,)) * self.imgfilter_std)
+                mask = jax.random.uniform(next(keys), (n,)) < (
+                    cfg.imgfilter * p * band_strength)
+                t_i = jnp.where(mask, t_i, 1.0)
+                t = jnp.ones((n, num_bands)).at[:, i].set(t_i)
+                t = t / jnp.sqrt(jnp.sum(expected_power * t ** 2, axis=-1,
+                                         keepdims=True))
+                gvec = gvec * t
+            hz_prime = gvec @ self.hz_fbank                        # [n, taps]
+            images = self._execute_imgfilter(images, hz_prime)
+
+        # ---------------- image-space corruptions (ref :415-442)
+        if cfg.noise > 0:
+            sigma = jnp.abs(jax.random.normal(next(keys), (n,))) * self.noise_std
+            sigma = gate(next(keys), cfg.noise, sigma, jnp.zeros_like(sigma))
+            images = images + (jax.random.normal(next(keys), images.shape)
+                               * sigma[:, None, None, None])
+        if cfg.cutout > 0:
+            size = jnp.full((n,), self.cutout_size)
+            size = gate(next(keys), cfg.cutout, size, jnp.zeros_like(size))
+            center = jax.random.uniform(next(keys), (n, 2))
+            cx = (jnp.arange(w) + 0.5) / w                          # [W]
+            cy = (jnp.arange(h) + 0.5) / h                          # [H]
+            mask_x = jnp.abs(cx[None, :] - center[:, 0:1]) >= size[:, None] / 2
+            mask_y = jnp.abs(cy[None, :] - center[:, 1:2]) >= size[:, None] / 2
+            mask = jnp.logical_or(mask_x[:, None, :], mask_y[:, :, None])
+            images = images * mask[..., None].astype(images.dtype)
         return images
+
+    def _execute_imgfilter(self, images: jnp.ndarray,
+                           hz_prime: jnp.ndarray) -> jnp.ndarray:
+        """Separable per-sample frequency-band amplification (ref :400-413).
+        Batch rides the channel axis so one depthwise conv applies a distinct
+        filter per sample."""
+        n, h, w, c = images.shape
+        taps = hz_prime.shape[1]
+        pad = taps // 2
+        x = jnp.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                    mode='reflect')
+        x = x.transpose(1, 2, 0, 3).reshape(1, h + 2 * pad, w + 2 * pad, n * c)
+        rhs = jnp.repeat(hz_prime, c, axis=0).T                     # [taps, n*c]
+        dn = jax.lax.conv_dimension_numbers(x.shape, (1, taps, 1, n * c),
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        # torch conv2d = correlation with no filter flip; weights here are
+        # built symmetric-normalized from the fbank, orientation matters not
+        x = jax.lax.conv_general_dilated(
+            x, rhs.reshape(1, taps, 1, n * c), window_strides=(1, 1),
+            padding='VALID', dimension_numbers=dn, feature_group_count=n * c)
+        x = jax.lax.conv_general_dilated(
+            x, rhs.reshape(taps, 1, 1, n * c), window_strides=(1, 1),
+            padding='VALID', dimension_numbers=dn, feature_group_count=n * c)
+        return x.reshape(h, w, n, c).transpose(2, 0, 1, 3)
 
     def _execute_geometric(self, images: jnp.ndarray, g_inv: jnp.ndarray) -> jnp.ndarray:
         """Pad-reflect, 2x wavelet upsample, affine grid-sample, downsample

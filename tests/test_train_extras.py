@@ -156,3 +156,47 @@ def test_custom_camera_distribution():
     state2, stats = step_plain(state, batch2, jax.random.PRNGKey(1), sched)
     for k, v in stats.items():
         assert np.isfinite(float(np.asarray(v))), k
+
+
+def test_augment_imgfilter_noise_cutout():
+    """The three strength-0-in-shipped-configs modes (ref augment.py:385-442):
+    imgfilter's band sum is a perfect-reconstruction delta at p=0, cutout
+    zeroes a block, noise adds variance."""
+    import dataclasses as dc
+    from tdgp.config import AugmentCfg
+    from tdgp.training.augment import AugmentPipe, _build_fbank
+
+    # QMF perfect reconstruction: the 4 bands sum to (approximately) a delta
+    fbank = _build_fbank()
+    s = fbank.sum(axis=0)
+    assert abs(s[s.shape[0] // 2] - 1.0) < 1e-5
+    assert np.abs(np.delete(s, s.shape[0] // 2)).max() < 1e-5
+
+    base = AugmentCfg(xflip=0, rotate90=0, xint=0, scale=0, rotate=0, aniso=0,
+                      xfrac=0, brightness=0, contrast=0, lumaflip=0, hue=0,
+                      saturation=0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 4))
+
+    # imgfilter: identity at p=0, structure-preserving but changed at p=1
+    pipe = AugmentPipe(dc.replace(base, imgfilter=1.0), num_color_channels=3)
+    out0 = pipe(x, jnp.asarray(0.0), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(x), atol=5e-2)
+    out1 = pipe(x, jnp.asarray(1.0), jax.random.PRNGKey(1))
+    assert out1.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(out1)))
+    assert np.mean(np.abs(np.asarray(out1) - np.asarray(x))) > 1e-3
+
+    # noise: variance increases
+    pipe = AugmentPipe(dc.replace(base, noise=1.0), num_color_channels=3)
+    outn = pipe(x, jnp.asarray(1.0), jax.random.PRNGKey(2))
+    assert np.var(np.asarray(outn)) > np.var(np.asarray(x)) * 0.99
+    assert np.mean(np.abs(np.asarray(outn) - np.asarray(x))) > 1e-3
+
+    # cutout: zeroes a centered-size-0.5 block across all channels
+    pipe = AugmentPipe(dc.replace(base, cutout=1.0), num_color_channels=3)
+    outc = pipe(x, jnp.asarray(1.0), jax.random.PRNGKey(3))
+    zero_frac = np.mean(np.asarray(outc) == 0.0)
+    assert 0.01 < zero_frac < 0.5  # ~ (0.5^2) minus boundary clipping
+    # zeroed positions agree across channels
+    zc = np.asarray(outc == 0).reshape(4, 16, 16, 4)
+    assert np.all(zc.any(-1) == zc.all(-1))
