@@ -108,9 +108,12 @@ def main():
     # grad accumulation); plain batches as fallback. Each attempt runs in its
     # own process: a failed/OOMed attempt fragments HBM and poisons later
     # attempts in the same process.
+    # measured rungs (v5e 16GB, pair packing + decoder remat): batch 8 plain
+    # = 5.17 imgs/s; (16,8)/(16,none)/(32,8) OOM; (8,4) compile exceeds the
+    # rig's remote-compile budget. Keep the ladder short — a failed rung
+    # costs ~25 min of Mosaic/XLA compile before it OOMs.
     result = None
-    for batch_size, batch_gpu in ((32, 8), (16, 8), (16, 4), (8, 4),
-                                  (8, None), (4, None)):
+    for batch_size, batch_gpu in ((8, None), (4, None)):
         cmd = [sys.executable, os.path.abspath(__file__), '--single',
                str(batch_size), 'none' if batch_gpu is None else str(batch_gpu)]
         try:

@@ -216,3 +216,29 @@ def test_modulated_conv2d_grad_finite():
 
     g = jax.grad(lambda w_: jnp.sum(modulated_conv2d(x, w_, s, padding=1) ** 2))(w)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_grid_sample_exact_boundary_vs_torch():
+    """TODO#14: coords at exactly -1/1 (and epsilon outside) must match
+    torch's align_corners=True zero-padding semantics bit-for-bit."""
+    import torch
+    import torch.nn.functional as TF
+    from tdgp.ops.grid_sample import grid_sample_2d
+
+    rs = np.random.RandomState(0)
+    H, W, F = 8, 8, 3
+    planes = rs.randn(1, H, W, F).astype(np.float32)
+    pts = np.array([[-1.0, -1.0], [1.0, 1.0], [-1.0, 1.0], [1.0, -1.0],
+                    [0.0, 1.0], [1.0, 0.0], [-1.0000001, 0.0],
+                    [1.0000001, 0.0], [0.9999999, 0.9999999],
+                    [-0.99999994, -1.0]], dtype=np.float32)
+    coords = pts[None]
+
+    out_j = np.asarray(grid_sample_2d(jnp.asarray(planes), jnp.asarray(coords),
+                                      align_corners=True))
+    x_t = torch.from_numpy(planes.transpose(0, 3, 1, 2))
+    g_t = torch.from_numpy(coords[:, :, None, :])
+    out_t = TF.grid_sample(x_t, g_t, mode='bilinear', align_corners=True,
+                           padding_mode='zeros')
+    out_t = out_t[:, :, :, 0].permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(out_j, out_t, atol=1e-6)
