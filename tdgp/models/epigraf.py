@@ -45,6 +45,15 @@ def flatten_planes(planes: jnp.ndarray) -> jnp.ndarray:
     return planes.transpose(0, 3, 1, 2, 4).reshape(n * 3, h, w, f)
 
 
+def resolve_sample_impl(impl: str, h: int, w: int) -> str:
+    """'auto' -> the Pallas-splat fused path on TPU when the plane shape
+    satisfies the splat kernel's tiling, pure-jnp elsewhere."""
+    if impl != 'auto':
+        return impl
+    on_tpu = jax.default_backend() in ('tpu', 'axon')
+    return 'fused' if (on_tpu and w % 128 == 0 and h % 2 == 0) else 'jnp'
+
+
 def tri_plane_sample(planes, coords: jnp.ndarray, scale: float,
                      impl: str = 'jnp', pack: str = 'pair') -> jnp.ndarray:
     """Sample 3 axis-aligned planes at 3D points and average them
@@ -65,10 +74,7 @@ def tri_plane_sample(planes, coords: jnp.ndarray, scale: float,
     p = coords.shape[1]
     # impl: 'jnp' (XLA gather + autodiff scatter VJP), 'fused' (Pallas splat
     # backward, tdgp/ops/splat.py — ~7x faster grad on TPU), or 'auto'
-    # (fused on TPU when the plane shape satisfies the kernel's tiling).
-    if impl == 'auto':
-        on_tpu = jax.default_backend() in ('tpu', 'axon')
-        impl = 'fused' if (on_tpu and w % 128 == 0 and h % 2 == 0) else 'jnp'
+    impl = resolve_sample_impl(impl, h, w)
     if impl in ('fused', 'fused_interpret'):
         return triplane_sample_fused(planes, coords, scale,
                                      impl == 'fused_interpret', pack)
@@ -224,15 +230,37 @@ class SynthesisNetwork(nn.Module):
         # remat: recompute plane gathers + MLP in the backward pass instead of
         # storing activations for every ray sample (two passes x 64 steps) —
         # trades cheap FLOPs for the dominant HBM cost of training.
-        def _run(mlp, planes_, coords):
-            feats = tri_plane_sample(planes_, coords, scale=c.camera.cube_scale,
-                                     impl=c.plane_sample_impl, pack=c.plane_pack)
-            return mlp(feats)
+        impl = resolve_sample_impl(c.plane_sample_impl, planes.shape[1],
+                                   planes.shape[2])
+        if impl in ('fused', 'fused_interpret') and c.plane_pack != 'none':
+            # hoist the packed-table build OUT of the remat region: built
+            # once per step instead of once per pass per direction (4x);
+            # gradients ride triplane_sample_packed's table cotangent
+            from tdgp.ops.splat import build_sample_table, triplane_sample_packed
+            pshape = planes.shape
+            table = build_sample_table(planes, c.plane_pack)
 
-        _run_remat = nn.remat(_run)
+            def _run(mlp, table_, coords):
+                feats = triplane_sample_packed(
+                    table_, coords, c.camera.cube_scale, pshape, c.plane_pack,
+                    impl == 'fused_interpret')
+                return mlp(feats)
 
-        def run_model(coords):
-            return _run_remat(self.tri_plane_mlp, planes, coords)
+            _run_remat = nn.remat(_run)
+
+            def run_model(coords):
+                return _run_remat(self.tri_plane_mlp, table, coords)
+        else:
+            def _run(mlp, planes_, coords):
+                feats = tri_plane_sample(planes_, coords,
+                                         scale=c.camera.cube_scale,
+                                         impl=impl, pack=c.plane_pack)
+                return mlp(feats)
+
+            _run_remat = nn.remat(_run)
+
+            def run_model(coords):
+                return _run_remat(self.tri_plane_mlp, planes, coords)
 
         key = self.make_rng('render') if train else jax.random.PRNGKey(0)
         noise_std = nerf_noise_std if train else 0.0

@@ -320,24 +320,28 @@ def _build_pair_table(planes_flat: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(tabs, axis=0)
 
 
-def _sample_fwd_impl(planes_flat: jnp.ndarray, coords: jnp.ndarray, scale: float,
-                     pack: str = 'pair'):
-    """Forward gather + plane mean.
+def build_sample_table(planes_flat: jnp.ndarray, pack: str) -> jnp.ndarray:
+    """Public table builder for the packed sampling paths (callers that want
+    to hoist the build out of a remat region pair it with
+    triplane_sample_packed)."""
+    if pack == 'quad':
+        return _build_quad_table(planes_flat)
+    if pack == 'pair':
+        return _build_pair_table(planes_flat)
+    raise ValueError(f'unknown pack mode: {pack!r}')
 
-    pack: 'quad' — one [4F] row per (plane, point), fastest, 4x-planes table;
-          'pair' — two [2F] rows, 4.4x faster than 'none', 2x-planes table;
-          'none' — plain flat-table 4-corner gather (one [F] row per corner).
-    """
-    n3, H, W, F = planes_flat.shape
-    n = n3 // 3
+
+def _gather_packed(table: jnp.ndarray, coords: jnp.ndarray, scale: float,
+                   shape: Tuple[int, int, int, int], pack: str):
+    """Gather corner values + weighted combine from a packed table.
+    Returns (feats [N3,P,F] pre-mean, vals4 [N3,P,4,F], corner weights)."""
+    n3, H, W, F = shape
     P = coords.shape[1]
     gx, gy = _pixel_coords(coords, scale, H, W)
     x0i, y0i, _tx, _ty, _ms, ws = _corner_meta(gx, gy, H, W)
-
+    pid = jnp.arange(n3, dtype=jnp.int32)[:, None]                   # [N3, 1]
     if pack == 'quad':
-        table = _build_quad_table(planes_flat)
         hb, wb = H // 2 + 1, W // 2 + 1
-        pid = jnp.arange(n3, dtype=jnp.int32)[:, None]               # [N3, 1]
         Y = jnp.clip(y0i + 1, 0, H)     # offset into the front-padded grid
         X = jnp.clip(x0i + 1, 0, W)
         parity = (Y & 1) * 2 + (X & 1)
@@ -345,10 +349,9 @@ def _sample_fwd_impl(planes_flat: jnp.ndarray, coords: jnp.ndarray, scale: float
         vals4 = jnp.take(table, idx.reshape(-1), axis=0).reshape(n3, P, 4, F)
         feats = (ws[0][..., None] * vals4[:, :, 0] + ws[1][..., None] * vals4[:, :, 1]
                  + ws[2][..., None] * vals4[:, :, 2] + ws[3][..., None] * vals4[:, :, 3])
-    elif pack == 'pair':
-        table = _build_pair_table(planes_flat)
+    else:
+        assert pack == 'pair', pack
         wb = W // 2 + 1
-        pid = jnp.arange(n3, dtype=jnp.int32)[:, None]               # [N3, 1]
         X = jnp.clip(x0i + 1, 0, W)
         px = X & 1
         qx = X >> 1
@@ -362,7 +365,27 @@ def _sample_fwd_impl(planes_flat: jnp.ndarray, coords: jnp.ndarray, scale: float
                  + ws[2][..., None] * vb[..., :F] + ws[3][..., None] * vb[..., F:])
         vals4 = jnp.stack([vt[..., :F], vt[..., F:], vb[..., :F], vb[..., F:]],
                           axis=2)                                    # [N3,P,4,F]
+    return feats, vals4
+
+
+def _sample_fwd_impl(planes_flat: jnp.ndarray, coords: jnp.ndarray, scale: float,
+                     pack: str = 'pair'):
+    """Forward gather + plane mean.
+
+    pack: 'quad' — one [4F] row per (plane, point), fastest, 4x-planes table;
+          'pair' — two [2F] rows, 4.4x faster than 'none', 2x-planes table;
+          'none' — plain flat-table 4-corner gather (one [F] row per corner).
+    """
+    n3, H, W, F = planes_flat.shape
+    n = n3 // 3
+    P = coords.shape[1]
+
+    if pack in ('quad', 'pair'):
+        table = build_sample_table(planes_flat, pack)
+        feats, vals4 = _gather_packed(table, coords, scale, (n3, H, W, F), pack)
     elif pack == 'none':
+        gx, gy = _pixel_coords(coords, scale, H, W)
+        x0i, y0i, _tx, _ty, _ms, ws = _corner_meta(gx, gy, H, W)
         flat = planes_flat.reshape(n3 * H * W, F)
         base = (jnp.arange(n3, dtype=jnp.int32) * (H * W))[:, None]
 
@@ -443,3 +466,71 @@ def _sample_bwd(scale, interpret, pack, res, g):
 
 
 triplane_sample_fused.defvjp(_sample_fwd, _sample_bwd)
+
+
+# --------------------------------------- packed sample (table input, VJP)
+
+def _embed_gplanes(g_planes: jnp.ndarray, pack: str) -> jnp.ndarray:
+    """Lift a planes-layout cotangent into table layout.
+
+    build_sample_table duplicates every texel into 2 (pair) / 4 (quad)
+    parity slots, so its transpose SUMS the slots. Embedding the whole
+    cotangent into the parity-0 region (zeros elsewhere) therefore
+    satisfies build^T(embed(g)) == g exactly — which lets the hoisted-table
+    sampler return its plane gradient through the table input and have the
+    (automatically differentiated) build recover it untouched. Pure
+    pad/reshape data movement, no arithmetic.
+    """
+    n3, H, W, F = g_planes.shape
+    if pack == 'pair':
+        wb = W // 2 + 1
+        ev = jnp.pad(g_planes, ((0, 0), (0, 0), (1, 2), (0, 0)))[:, :, :2 * wb, :]
+        ev = ev.reshape(n3 * H * wb, 2 * F)
+        return jnp.concatenate([ev, jnp.zeros_like(ev)], axis=0)
+    assert pack == 'quad', pack
+    hb, wb = H // 2 + 1, W // 2 + 1
+    gq = jnp.pad(g_planes, ((0, 0), (1, 2), (1, 2), (0, 0)))[:, :2 * hb, :2 * wb, :]
+    gq = gq.reshape(n3, hb, 2, wb, 2, F).transpose(0, 1, 3, 2, 4, 5)
+    gq = gq.reshape(n3 * hb * wb, 4 * F)
+    z = jnp.zeros_like(gq)
+    return jnp.concatenate([gq, z, z, z], axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def triplane_sample_packed(table: jnp.ndarray, coords: jnp.ndarray,
+                           scale: float, shape: Tuple[int, int, int, int],
+                           pack: str = 'pair',
+                           interpret: bool = False) -> jnp.ndarray:
+    """triplane_sample_fused with the packed table as the INPUT.
+
+    Callers build the table once per step via build_sample_table OUTSIDE
+    their remat region (the model rebuilds it 4x/step otherwise: coarse +
+    fine pass, forward + backward replay). shape = (N3, H, W, F) of the
+    original planes. Gradients flow to the table through _embed_gplanes —
+    the build's autodiff VJP then maps them back onto the planes exactly.
+    """
+    n3, _, _, F = shape
+    n = n3 // 3
+    P = coords.shape[1]
+    feats, _ = _gather_packed(table, coords, scale, shape, pack)
+    return jnp.mean(feats.reshape(n, 3, P, F), axis=1).astype(table.dtype)
+
+
+def _packed_fwd(table, coords, scale, shape, pack, interpret):
+    n3, _, _, F = shape
+    n = n3 // 3
+    P = coords.shape[1]
+    feats, vals4 = _gather_packed(table, coords, scale, shape, pack)
+    out = jnp.mean(feats.reshape(n, 3, P, F), axis=1).astype(table.dtype)
+    return out, (vals4, coords)
+
+
+def _packed_bwd(scale, shape, pack, interpret, res, g):
+    vals4, coords = res
+    n3, H, W, F = shape
+    g_planes, g_coords = _sample_bwd(scale, interpret, pack,
+                                     (vals4, coords, (n3, H, W, F)), g)
+    return _embed_gplanes(g_planes, pack), g_coords
+
+
+triplane_sample_packed.defvjp(_packed_fwd, _packed_bwd)

@@ -120,3 +120,53 @@ def test_splat_boundary_rows():
     ref = triplane_splat_ref(g_pts, coords, scale, n * 3, h, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('pack', ['quad', 'pair'])
+def test_embed_gplanes_is_right_inverse_of_build_transpose(pack):
+    """build^T(embed(g)) == g — the identity the hoisted-table gradient
+    path relies on (ops/splat.py:_embed_gplanes)."""
+    from tdgp.ops.splat import build_sample_table, _embed_gplanes
+    key = jax.random.PRNGKey(11)
+    planes = jax.random.normal(key, (3, 8, 10, 4), jnp.float32)
+    g = jax.random.normal(jax.random.fold_in(key, 1), planes.shape, jnp.float32)
+
+    _, build_vjp = jax.vjp(lambda p: build_sample_table(p, pack), planes)
+    (recovered,) = build_vjp(_embed_gplanes(g, pack))
+    np.testing.assert_allclose(np.asarray(recovered), np.asarray(g),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize('pack', ['quad', 'pair'])
+def test_packed_sample_with_hoisted_table(setup, pack):
+    """triplane_sample_packed with the table built OUTSIDE a remat region:
+    forward and both gradients must match the jnp reference (the model's
+    hoisted-table configuration, models/epigraf.py)."""
+    from tdgp.ops.splat import build_sample_table, triplane_sample_packed
+    planes, coords, _, scale = setup
+    shape = planes.shape
+
+    out = triplane_sample_packed(build_sample_table(planes, pack), coords,
+                                 scale, shape, pack, True)
+    ref = _tri_plane_sample_jnp(planes, coords, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    @jax.checkpoint
+    def seg(table_, co_):
+        return jnp.tanh(triplane_sample_packed(table_, co_, scale, shape,
+                                               pack, True))
+
+    def loss(pl_, co_):
+        table = build_sample_table(pl_, pack)       # outside the remat
+        return jnp.sum(seg(table, co_) ** 2)
+
+    def loss_ref(pl_, co_):
+        return jnp.sum(jnp.tanh(_tri_plane_sample_jnp(pl_, co_, scale)) ** 2)
+
+    gp_f, gc_f = jax.jit(jax.grad(loss, argnums=(0, 1)))(planes, coords)
+    gp_r, gc_r = jax.grad(loss_ref, argnums=(0, 1))(planes, coords)
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gc_f), np.asarray(gc_r),
+                               rtol=1e-4, atol=1e-4)
