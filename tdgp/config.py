@@ -429,7 +429,12 @@ def synth_demo_config() -> Config:
                         blur_fade_kimg=20),
         training=TrainingConfig(batch_size=32, ema_kimg=10.0, tick_kimg=2,
                                 snap=5, image_snap=5, val_freq=5,
-                                metrics=('fid2k_full',)),
+                                metrics=('fid2k_full',),
+                                # 4000 images -> D overfits without ADA (a
+                                # no-ADA 30-kimg run showed signs/real 0.91
+                                # and G loss climbing); ada_kimg shortened to
+                                # react within the demo's 200 kimg
+                                augment=AugmentCfg(mode='ada', ada_kimg=100)),
         dataset=DatasetConfig(resolution=64, c_dim=4, use_embeddings=False),
     )
 
