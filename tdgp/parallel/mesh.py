@@ -37,7 +37,18 @@ def replicate(tree, mesh: Mesh):
 
 def init_distributed() -> None:
     """Multi-host initialization (replaces the reference's file-based NCCL
-    rendezvous, ref train.py:37-44). No-op on a single host."""
+    rendezvous, ref train.py:37-44). No-op on a single host.
+
+    Explicit COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID env vars drive the
+    rendezvous (cluster auto-detection — SLURM/GKE — still applies when only
+    COORDINATOR_ADDRESS is set); exercised by the real two-process test in
+    tests/test_multiprocess.py."""
     import os
     if 'COORDINATOR_ADDRESS' in os.environ:
-        jax.distributed.initialize()
+        if 'NUM_PROCESSES' in os.environ:
+            jax.distributed.initialize(
+                coordinator_address=os.environ['COORDINATOR_ADDRESS'],
+                num_processes=int(os.environ['NUM_PROCESSES']),
+                process_id=int(os.environ['PROCESS_ID']))
+        else:
+            jax.distributed.initialize()
