@@ -110,10 +110,19 @@ def main():
     # attempts in the same process.
     # measured rungs (v5e 16GB, pair packing + decoder remat): batch 8 plain
     # = 5.17 imgs/s; (16,8)/(16,none)/(32,8) OOM; (8,4) compile exceeds the
-    # rig's remote-compile budget. Keep the ladder short — a failed rung
-    # costs ~25 min of Mosaic/XLA compile before it OOMs.
+    # rig's remote-compile budget. Keep the 16GB ladder short — a failed
+    # rung costs ~25 min of Mosaic/XLA compile before it OOMs. Chips with
+    # more HBM (v5p/v6e) get the bigger rungs back.
+    try:
+        hbm = jax.devices()[0].memory_stats().get('bytes_limit', 0)
+    except Exception:
+        hbm = 0
+    if hbm > 24 * 1024 ** 3:
+        ladder = ((32, None), (32, 8), (16, None), (8, None), (4, None))
+    else:
+        ladder = ((8, None), (4, None))
     result = None
-    for batch_size, batch_gpu in ((8, None), (4, None)):
+    for batch_size, batch_gpu in ladder:
         cmd = [sys.executable, os.path.abspath(__file__), '--single',
                str(batch_size), 'none' if batch_gpu is None else str(batch_gpu)]
         try:

@@ -238,29 +238,27 @@ class SynthesisNetwork(nn.Module):
             # gradients ride triplane_sample_packed's table cotangent
             from tdgp.ops.splat import build_sample_table, triplane_sample_packed
             pshape = planes.shape
-            table = build_sample_table(planes, c.plane_pack)
+            operand = build_sample_table(planes, c.plane_pack)
 
-            def _run(mlp, table_, coords):
-                feats = triplane_sample_packed(
+            def sample_fn(table_, coords):
+                return triplane_sample_packed(
                     table_, coords, c.camera.cube_scale, pshape, c.plane_pack,
                     impl == 'fused_interpret')
-                return mlp(feats)
-
-            _run_remat = nn.remat(_run)
-
-            def run_model(coords):
-                return _run_remat(self.tri_plane_mlp, table, coords)
         else:
-            def _run(mlp, planes_, coords):
-                feats = tri_plane_sample(planes_, coords,
-                                         scale=c.camera.cube_scale,
-                                         impl=impl, pack=c.plane_pack)
-                return mlp(feats)
+            operand = planes
 
-            _run_remat = nn.remat(_run)
+            def sample_fn(planes_, coords):
+                return tri_plane_sample(planes_, coords,
+                                        scale=c.camera.cube_scale,
+                                        impl=impl, pack=c.plane_pack)
 
-            def run_model(coords):
-                return _run_remat(self.tri_plane_mlp, planes, coords)
+        def _run(mlp, operand_, coords):
+            return mlp(sample_fn(operand_, coords))
+
+        _run_remat = nn.remat(_run)
+
+        def run_model(coords):
+            return _run_remat(self.tri_plane_mlp, operand, coords)
 
         key = self.make_rng('render') if train else jax.random.PRNGKey(0)
         noise_std = nerf_noise_std if train else 0.0

@@ -334,7 +334,7 @@ def build_sample_table(planes_flat: jnp.ndarray, pack: str) -> jnp.ndarray:
 def _gather_packed(table: jnp.ndarray, coords: jnp.ndarray, scale: float,
                    shape: Tuple[int, int, int, int], pack: str):
     """Gather corner values + weighted combine from a packed table.
-    Returns (feats [N3,P,F] pre-mean, vals4 [N3,P,4,F], corner weights)."""
+    Returns (feats [N3,P,F] pre-mean, vals4 [N3,P,4,F])."""
     n3, H, W, F = shape
     P = coords.shape[1]
     gx, gy = _pixel_coords(coords, scale, H, W)

@@ -46,6 +46,11 @@ def init_distributed() -> None:
     import os
     if 'COORDINATOR_ADDRESS' in os.environ:
         if 'NUM_PROCESSES' in os.environ:
+            if 'PROCESS_ID' not in os.environ:
+                raise RuntimeError(
+                    'NUM_PROCESSES is set but PROCESS_ID is not — explicit '
+                    'rendezvous needs COORDINATOR_ADDRESS + NUM_PROCESSES + '
+                    'PROCESS_ID together')
             jax.distributed.initialize(
                 coordinator_address=os.environ['COORDINATOR_ADDRESS'],
                 num_processes=int(os.environ['NUM_PROCESSES']),
