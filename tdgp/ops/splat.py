@@ -323,7 +323,16 @@ def _build_pair_table(planes_flat: jnp.ndarray) -> jnp.ndarray:
 def build_sample_table(planes_flat: jnp.ndarray, pack: str) -> jnp.ndarray:
     """Public table builder for the packed sampling paths (callers that want
     to hoist the build out of a remat region pair it with
-    triplane_sample_packed)."""
+    triplane_sample_packed).
+
+    pack '<mode>_bf16' stores the table in bfloat16: gather cost is per-ROW
+    (ledger), so bf16 buys memory only — 'quad_bf16' has quad's row count at
+    pair's footprint. Feature values quantize to ~3 decimal digits; the
+    backward splat is unaffected (computed from coords + cotangents in f32).
+    """
+    if pack.endswith('_bf16'):
+        planes_flat = planes_flat.astype(jnp.bfloat16)
+        pack = pack[:-5]
     if pack == 'quad':
         return _build_quad_table(planes_flat)
     if pack == 'pair':
@@ -337,6 +346,7 @@ def _gather_packed(table: jnp.ndarray, coords: jnp.ndarray, scale: float,
     Returns (feats [N3,P,F] pre-mean, vals4 [N3,P,4,F])."""
     n3, H, W, F = shape
     P = coords.shape[1]
+    pack = pack[:-5] if pack.endswith('_bf16') else pack  # layout is the same
     gx, gy = _pixel_coords(coords, scale, H, W)
     x0i, y0i, _tx, _ty, _ms, ws = _corner_meta(gx, gy, H, W)
     pid = jnp.arange(n3, dtype=jnp.int32)[:, None]                   # [N3, 1]
@@ -482,6 +492,7 @@ def _embed_gplanes(g_planes: jnp.ndarray, pack: str) -> jnp.ndarray:
     pad/reshape data movement, no arithmetic.
     """
     n3, H, W, F = g_planes.shape
+    pack = pack[:-5] if pack.endswith('_bf16') else pack
     if pack == 'pair':
         wb = W // 2 + 1
         ev = jnp.pad(g_planes, ((0, 0), (0, 0), (1, 2), (0, 0)))[:, :, :2 * wb, :]
@@ -513,7 +524,8 @@ def triplane_sample_packed(table: jnp.ndarray, coords: jnp.ndarray,
     n = n3 // 3
     P = coords.shape[1]
     feats, _ = _gather_packed(table, coords, scale, shape, pack)
-    return jnp.mean(feats.reshape(n, 3, P, F), axis=1).astype(table.dtype)
+    # feats promote to f32 through the corner weights even off a bf16 table
+    return jnp.mean(feats.reshape(n, 3, P, F), axis=1).astype(jnp.float32)
 
 
 def _packed_fwd(table, coords, scale, shape, pack, interpret):
@@ -521,7 +533,7 @@ def _packed_fwd(table, coords, scale, shape, pack, interpret):
     n = n3 // 3
     P = coords.shape[1]
     feats, vals4 = _gather_packed(table, coords, scale, shape, pack)
-    out = jnp.mean(feats.reshape(n, 3, P, F), axis=1).astype(table.dtype)
+    out = jnp.mean(feats.reshape(n, 3, P, F), axis=1).astype(jnp.float32)
     return out, (vals4, coords)
 
 

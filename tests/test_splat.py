@@ -170,3 +170,36 @@ def test_packed_sample_with_hoisted_table(setup, pack):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gc_f), np.asarray(gc_r),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_packed_sample_bf16_table(setup):
+    """quad_bf16: quad row count at half the table bytes; values quantize to
+    bf16 (~3 decimal digits) but gradients still flow and match loosely."""
+    from tdgp.ops.splat import build_sample_table, triplane_sample_packed
+    planes, coords, _, scale = setup
+    shape = planes.shape
+    table = build_sample_table(planes, 'quad_bf16')
+    assert table.dtype == jnp.bfloat16
+    out = triplane_sample_packed(table, coords, scale, shape, 'quad_bf16', True)
+    assert out.dtype == jnp.float32
+    ref = _tri_plane_sample_jnp(planes, coords, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
+
+    def loss(pl_, co_):
+        t = build_sample_table(pl_, 'quad_bf16')
+        return jnp.sum(triplane_sample_packed(t, co_, scale, shape,
+                                              'quad_bf16', True) ** 2)
+
+    def loss_ref(pl_, co_):
+        return jnp.sum(_tri_plane_sample_jnp(pl_, co_, scale) ** 2)
+
+    gp_f, gc_f = jax.jit(jax.grad(loss, argnums=(0, 1)))(planes, coords)
+    gp_r, gc_r = jax.grad(loss_ref, argnums=(0, 1))(planes, coords)
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_r),
+                               rtol=0.15, atol=0.06)
+    # d/dcoords takes DIFFERENCES of bf16-quantized corner values — element
+    # outliers are inherent; bound the relative L2 error instead
+    num = np.linalg.norm(np.asarray(gc_f) - np.asarray(gc_r))
+    den = np.linalg.norm(np.asarray(gc_r))
+    assert num / den < 0.05, num / den
