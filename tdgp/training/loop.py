@@ -111,10 +111,11 @@ def training_loop(
     state, G, D = create_train_state(cfg, seed=t.seed,
                                      local_batch=batch_size // num_shards)
     cur_nimg = 0
+    resume_meta: dict = {}
     resume_path = ckpt.resolve_resume(run_dir, t.resume)
     if resume_path:
-        state, meta = ckpt.load_snapshot(resume_path, state)
-        cur_nimg = int(meta.get('cur_nimg', 0))
+        state, resume_meta = ckpt.load_snapshot(resume_path, state)
+        cur_nimg = int(resume_meta.get('cur_nimg', 0))
         if verbose:
             print(f'Resumed from {resume_path} at {cur_nimg / 1e3:.1f} kimg')
 
@@ -130,12 +131,15 @@ def training_loop(
                         enabled=t.run_profiling)
     profile_ctx.__enter__()  # closed after tick 2 (wait/warmup/active ~ ref)
     rng = jax.random.PRNGKey(t.seed)
-    batch_idx = 0
+    batch_idx = int(resume_meta.get('batch_idx', 0))
     cur_tick = 0
     tick_start_nimg = cur_nimg
     tick_start_time = time.time()
     start_time = tick_start_time
     ada_p = 0.0 if t.augment.mode != 'fixed' else t.augment.p
+    # the ADA controller state and phase-scheduling offset ride the snapshot
+    # meta (ref training_loop.py:217-223 resume_whole_state semantics)
+    ada_p = float(resume_meta.get('ada_p', ada_p))
     ada_signs_acc: list = []
     best_metric = None
     best_snapshot_path = None

@@ -44,3 +44,30 @@ def test_training_loop_runs_and_checkpoints(tmp_path):
     # resume continues from the snapshot
     state2 = training_loop(cfg, run_dir, max_kimg=0.016, verbose=False)
     assert int(np.asarray(state2.step)) >= 1
+
+
+def test_resume_restores_ada_p_and_batch_idx(tmp_path):
+    """The ADA controller state and phase offset ride the snapshot meta —
+    a resumed run must not reset p to 0 (ref training_loop.py:217-223)."""
+    import dataclasses
+    cfg = loop_cfg()
+    cfg = dataclasses.replace(cfg, training=dataclasses.replace(
+        cfg.training,
+        augment=dataclasses.replace(cfg.training.augment, mode='fixed', p=0.37)))
+    run_dir = str(tmp_path / 'run')
+    training_loop(cfg, run_dir, max_kimg=0.012, verbose=False)
+    snaps = ckpt.list_snapshots(run_dir)
+    assert snaps
+    meta = json.load(open(snaps[-1][1] + '.meta.json'))
+    assert meta['ada_p'] == 0.37
+    assert meta['batch_idx'] > 0
+    # resume in 'ada' mode (controller active): p must start from the saved
+    # value, not 0 — visible through Progress/augment_p of the first tick
+    cfg2 = dataclasses.replace(cfg, training=dataclasses.replace(
+        cfg.training,
+        augment=dataclasses.replace(cfg.training.augment, mode='ada', p=0.0)))
+    training_loop(cfg2, run_dir, max_kimg=0.016, verbose=False)
+    lines = [json.loads(l) for l in open(os.path.join(run_dir, 'stats.jsonl'))]
+    v = lines[-1]['Progress/augment_p']
+    v = v['mean'] if isinstance(v, dict) else v
+    assert abs(v - 0.37) < 0.05
