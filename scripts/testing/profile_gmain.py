@@ -74,15 +74,26 @@ def main():
     import tdgp.models.epigraf as epigraf
     orig = epigraf.tri_plane_sample
 
-    def tps_stopped(planes, coords, scale):
-        return orig(jax.lax.stop_gradient(planes), coords, scale)
+    def tps_stopped(planes, coords, scale, **kw):
+        return orig(jax.lax.stop_gradient(planes), coords, scale, **kw)
+
+    # NOTE: with the hoisted-table path (plane_sample_impl fused + pack)
+    # the model calls triplane_sample_packed instead; stop the gradient at
+    # the table build for the same bisect
+    import tdgp.ops.splat as splat
+    orig_build = splat.build_sample_table
+
+    def build_stopped(planes, pack):
+        return orig_build(jax.lax.stop_gradient(planes), pack)
 
     epigraf.tri_plane_sample = tps_stopped
+    splat.build_sample_table = build_stopped
     try:
         t = timeit(jax.jit(jax.grad(make_gloss())), state.g_params)
         print(f'G loss grad (stop-grad planes):  {t*1e3:8.1f} ms', flush=True)
     finally:
         epigraf.tri_plane_sample = orig
+        splat.build_sample_table = orig_build
 
 
 if __name__ == '__main__':
