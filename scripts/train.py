@@ -25,6 +25,11 @@ def main():
     ap.add_argument('--preset', default='default',
                     choices=['default', 'imagenet', 'satellite', 'tiny', 'synth64', 'stylegan2'])
     ap.add_argument('--run-root', default='experiments')
+    ap.add_argument('--run-dir', default=None,
+                    help='existing experiment dir to resume into (defaults '
+                         'to its frozen experiment_config.yaml; the usual '
+                         'dir naming includes the git hash, so resuming '
+                         'after a code change needs this)')
     ap.add_argument('--desc', default=None)
     ap.add_argument('--dry-run', action='store_true')
     ap.add_argument('--max-kimg', type=float, default=None)
@@ -32,6 +37,10 @@ def main():
     args = ap.parse_args()
 
     from tdgp.infra.experiment import create_experiment_dir, load_config
+    if args.run_dir and args.config is None:
+        frozen = os.path.join(args.run_dir, 'experiment_config.yaml')
+        if os.path.exists(frozen):
+            args.config = frozen
     cfg = load_config(args.config, overrides=args.overrides, preset=args.preset)
 
     # startup property validation (ref train.py:206-228)
@@ -46,7 +55,11 @@ def main():
             'Viewing frustum escapes the scene cube — adjust fov/radius/cube_scale'
     assert cfg.training.batch_size % cfg.discriminator.mbstd_group_size == 0
 
-    run_dir = create_experiment_dir(cfg, args.run_root, desc=args.desc)
+    if args.run_dir:
+        run_dir = args.run_dir
+        assert os.path.isdir(run_dir), run_dir
+    else:
+        run_dir = create_experiment_dir(cfg, args.run_root, desc=args.desc)
     print(f'Run dir: {run_dir}')
     if args.dry_run:
         from tdgp.infra.experiment import config_to_dict
