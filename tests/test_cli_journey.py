@@ -48,6 +48,14 @@ def test_full_journey(tmp_path):
              and not d.endswith('.json')]
     assert snaps, os.listdir(run_dir)
 
+    # resume INTO the same dir via --run-dir (frozen-config reuse): the
+    # dir name embeds the git hash, so this is the cross-code-change path
+    run(['scripts/train.py', '--run-dir', run_dir, '--max-kimg', '0.012'],
+        timeout=2400)
+    with open(os.path.join(run_dir, 'stats.jsonl')) as f:
+        n_ticks = len(f.readlines())
+    assert n_ticks >= 3, n_ticks
+
     # inference: image grid from the snapshot
     grid_path = os.path.join(run_dir, 'grid.png')
     run(['scripts/inference.py', '--run-dir', run_dir, '--vis', 'image_grid',
