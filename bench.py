@@ -27,6 +27,24 @@ import jax.numpy as jnp  # noqa: E402
 
 ASSUMED_A100_IMGS_PER_SEC = 20.0
 
+# bf16 MXU peak per chip, by device-kind substring (public spec sheets);
+# MFU is reported against the bf16 peak — the "speed of light" of the part
+_PEAK_BF16_FLOPS = (
+    ('v5 lite', 197e12),   # v5e
+    ('v5e', 197e12),
+    ('v5p', 459e12),
+    ('v6e', 918e12),       # Trillium
+    ('v4', 275e12),
+)
+
+
+def device_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in _PEAK_BF16_FLOPS:
+        if sub in kind:
+            return peak
+    return 0.0
+
 
 def make_batch(key, n, res, c_dim, emb_dim):
     ks = jax.random.split(key, 4)
@@ -56,6 +74,10 @@ def run_bench(batch_size: int, batch_gpu=None):
     if pack:
         cfg = dataclasses.replace(
             cfg, generator=dataclasses.replace(cfg.generator, plane_pack=pack))
+    save = os.environ.get('TDGP_SAMPLE_SAVE')  # experimentation knob
+    if save:
+        cfg = dataclasses.replace(
+            cfg, generator=dataclasses.replace(cfg.generator, sample_save=save))
     state, G, D = create_train_state(cfg, seed=0, local_batch=batch_size)
     step_plain, step_r1 = make_jitted_train_steps(cfg, G, D)
 
@@ -84,9 +106,42 @@ def run_bench(batch_size: int, batch_gpu=None):
     elapsed = time.perf_counter() - t0
 
     # reconstruct the real 15:1 training cadence from the measured mix
-    t_plain = elapsed / (n_plain + n_r1)  # r1 steps dominate barely; keep simple
+    t_step = elapsed / (n_plain + n_r1)  # r1 steps dominate barely; keep simple
     imgs = batch_size * (n_plain + n_r1)
-    return imgs / elapsed, elapsed
+
+    # rays/sec + MFU (BASELINE.md row 3 "render rays/sec — tracked"):
+    # the step renders the patch twice (Gmain fake + Dmain fake), each ray
+    # integrated over coarse+fine samples
+    patch_res = cfg.generator.patch.resolution
+    n_samples = cfg.generator.num_ray_steps * 2
+    rays_per_step = batch_size * patch_res * patch_res * 2
+    rays_per_sec = rays_per_step / t_step
+    samples_per_sec = rays_per_sec * n_samples
+
+    # MFU from XLA's own cost analysis of the compiled steps (15:1 cadence
+    # mix); the persistent compile cache makes the extra lower+compile cheap
+    mfu = None
+    flops_per_step = None
+    try:
+        # Lowered.cost_analysis avoids a second multi-minute XLA compile;
+        # flops on unoptimized HLO ~= the analytic matmul/conv count
+        fl_plain = step_plain.lower(state, batch, rng, sched) \
+            .cost_analysis()['flops']
+        fl_r1 = step_r1.lower(state, batch, rng, sched) \
+            .cost_analysis()['flops']
+        flops_per_step = (15 * fl_plain + fl_r1) / 16
+        peak = device_peak_flops()
+        if peak > 0:
+            mfu = flops_per_step / t_step / peak
+    except Exception:
+        pass
+
+    return imgs / elapsed, elapsed, {
+        'rays_per_sec': round(rays_per_sec),
+        'samples_per_sec': round(samples_per_sec),
+        'flops_per_step': flops_per_step,
+        'mfu': round(mfu, 5) if mfu is not None else None,
+    }
 
 
 def main():
@@ -99,9 +154,9 @@ def main():
         bs = int(sys.argv[i + 1])
         bg = sys.argv[i + 2]
         bg = None if bg == 'none' else int(bg)
-        imgs_per_sec, _ = run_bench(bs, bg)
+        imgs_per_sec, _, extra = run_bench(bs, bg)
         print(json.dumps({'imgs_per_sec': imgs_per_sec,
-                          'batch': bs, 'batch_gpu': bg}))
+                          'batch': bs, 'batch_gpu': bg, **extra}))
         return
 
     # ladder: larger per-chip batches ride batch_gpu microbatching (lax.scan
@@ -156,6 +211,10 @@ def main():
         'vs_baseline': round(imgs_per_sec / ASSUMED_A100_IMGS_PER_SEC, 3),
         'batch_per_chip': batch_size,
         'batch_gpu': batch_gpu,
+        'rays_per_sec': result.get('rays_per_sec'),
+        'samples_per_sec': result.get('samples_per_sec'),
+        'flops_per_step': result.get('flops_per_step'),
+        'mfu': result.get('mfu'),
         'baseline_note': f'assumed A100 ref {ASSUMED_A100_IMGS_PER_SEC} imgs/s/GPU (repo publishes none)',
         'device': str(jax.devices()[0]),
     }))

@@ -46,6 +46,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--src', required=True, help='torch .pth state_dict or TorchScript file')
     ap.add_argument('--dst', required=True, help='output .npz')
+    ap.add_argument('--fid-pool', choices=['auto', 'true', 'false'], default='auto',
+                    help="mark the weights as needing pytorch-fid's "
+                         'count_include_pad=False branch pools '
+                         '(auto: true iff fc has 1008 logits, i.e. '
+                         'pt_inception-2015-12-05)')
     args = ap.parse_args()
 
     import torch
@@ -55,8 +60,15 @@ def main():
         obj = torch.jit.load(args.src, map_location='cpu')
     state_dict = obj.state_dict() if hasattr(obj, 'state_dict') else obj
     flat = convert(state_dict)
+    if args.fid_pool == 'auto':
+        fid_pool = flat['params/fc/bias'].shape[0] == 1008
+    else:
+        fid_pool = args.fid_pool == 'true'
+    # marker read back by tdgp.metrics.detectors.load_inception_detector so
+    # the right pooling variant is selected automatically
+    flat['__meta__/fid_pool'] = np.asarray(fid_pool)
     np.savez(args.dst, **flat)
-    print(f'wrote {len(flat)} arrays -> {args.dst}')
+    print(f'wrote {len(flat)} arrays -> {args.dst} (fid_pool={fid_pool})')
 
 
 if __name__ == '__main__':

@@ -219,6 +219,14 @@ class GeneratorConfig:
     # kernel (ops/pallas_kernels.py:ray_march_fused) on TPU for the classical
     # marcher, pure-jnp elsewhere / for eval-only render features
     ray_march_impl: str = 'auto'
+    # where the plane gather sits relative to the render remat region:
+    #   'remat'     — inside (backward replays the gather; minimal memory)
+    #   'save_bf16' — outside, corner-value residuals saved in bf16 (the
+    #                 backward skips one full gather sweep per render pass
+    #                 at ~0.8 GB/pass of residuals at satellite batch 8)
+    #   'save_f32'  — outside, fp32 residuals
+    # 'auto' resolves by measurement (docs/DESIGN.md ledger)
+    sample_save: str = 'auto'
 
 
 @dataclass(frozen=True)

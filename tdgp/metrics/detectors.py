@@ -51,13 +51,25 @@ class RandomProjectionDetector:
         return self._fwd(images)
 
 
-def load_inception_detector(weights_path: Optional[str] = None) -> Callable:
-    """The real FID detector; requires converted weights on disk."""
-    from tdgp.metrics.inception import InceptionV3FID, load_weights, make_detector
+def load_inception_detector(weights_path: Optional[str] = None,
+                            fid_pool: Optional[bool] = None) -> Callable:
+    """The real FID detector; requires converted weights on disk.
+
+    fid_pool (pytorch-fid's count_include_pad=False branch pools, needed for
+    pt_inception-2015-12-05 weights) resolves in order: explicit argument →
+    TDGP_INCEPTION_FID_POOL env var → the `__meta__/fid_pool` marker written
+    into the .npz by scripts/convert_inception.py → False (torchvision)."""
+    from tdgp.metrics.inception import load_weights, make_detector, npz_meta
     weights_path = weights_path or os.environ.get('TDGP_INCEPTION_WEIGHTS', '')
     if not weights_path or not os.path.exists(weights_path):
         raise FileNotFoundError(
             'InceptionV3 weights not found. Convert them once with '
             'scripts/convert_inception.py and set TDGP_INCEPTION_WEIGHTS.')
+    if fid_pool is None:
+        env = os.environ.get('TDGP_INCEPTION_FID_POOL')
+        if env is not None:
+            fid_pool = env not in ('', '0', 'false', 'False')
+        else:
+            fid_pool = bool(npz_meta(weights_path).get('fid_pool', False))
     params = load_weights(weights_path)
-    return make_detector(params)
+    return make_detector(params, fid_pool=fid_pool)

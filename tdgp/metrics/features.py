@@ -106,8 +106,11 @@ def default_process_gather(feats: jnp.ndarray) -> np.ndarray:
     process contributes its batch; results are rank-interleaved
     deterministically. Uses multihost_utils.process_allgather over DCN/ICI."""
     from jax.experimental import multihost_utils
-    gathered = multihost_utils.process_allgather(feats)   # [P, B, D]
-    return np.asarray(gathered).reshape(-1, gathered.shape[-1])
+    gathered = np.asarray(multihost_utils.process_allgather(feats))  # [P, B, D]
+    # transpose to [B, P, D] so the flattened order is round-robin across
+    # ranks — matching the rank-strided item order i*num_shards+rank (so a
+    # mid-batch max_items truncation keeps the same item subset as the ref)
+    return gathered.transpose(1, 0, 2).reshape(-1, gathered.shape[-1])
 
 
 def _process_info(rank, num_shards):
@@ -140,7 +143,15 @@ def compute_feature_stats_for_dataset(
                                          n=len(dataset), detector=detector_name,
                                          max_items=max_items, **stats_kwargs))
         cache_file = os.path.join(cache_dir, key + '.pkl')
-        if os.path.exists(cache_file):
+        # all ranks act on rank-0's view of the cache (ref metric_utils.py:
+        # 249-258 broadcasts the cache-exists flag) so a cold cache can't
+        # make rank!=0 race ahead and recompute while rank 0 loads
+        flag = os.path.exists(cache_file)
+        if num_shards > 1:
+            from jax.experimental import multihost_utils
+            flag = bool(np.asarray(multihost_utils.broadcast_one_to_all(
+                np.asarray(flag))))
+        if flag:
             return FeatureStats.load(cache_file)
 
     num_items = len(dataset)
@@ -159,8 +170,14 @@ def compute_feature_stats_for_dataset(
             stats.append(np.asarray(gather_fn(feats)))
         else:
             stats.append(np.asarray(feats))
-    if cache_dir and rank == 0:
-        stats.save(cache_file)
+    if cache_dir:
+        if rank == 0:
+            stats.save(cache_file)
+        if num_shards > 1:
+            # barrier: no rank returns before the cache file is on disk
+            # (ref metric_utils.py:49-55 rank-0-first download ordering)
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices('tdgp_feature_cache_saved')
     return stats
 
 
@@ -170,9 +187,15 @@ def iterate_random_conditioning(cfg: Config, dataset, batch_size: int,
                                 ) -> Iterator[Dict[str, Any]]:
     """Random (label, camera) conditioning stream for G sampling
     (ref metric_utils.py:60-101): labels from the dataset distribution,
-    cameras from the prior (warped by the adaptor when present)."""
+    cameras from the prior (warped by the adaptor when present). For the
+    'custom' angle distribution the origin angles are drawn from the dataset
+    (ref metric_utils.py:85-90 samples generator cameras from the dataset)."""
     rs = np.random.RandomState(seed)
     key = jax.random.PRNGKey(seed)
+    custom_angles = cfg.camera.origin.angles.dist == 'custom'
+    if custom_angles and dataset is None:
+        raise ValueError("angles dist 'custom' needs a dataset to sample "
+                         "origin angles from")
     while True:
         key, k_cam = jax.random.split(key)
         if dataset is not None and cfg.dataset.c_dim > 0:
@@ -180,7 +203,13 @@ def iterate_random_conditioning(cfg: Config, dataset, batch_size: int,
             c = jnp.asarray(np.stack([dataset.get_label(i) for i in idx]))
         else:
             c = jnp.zeros((batch_size, cfg.dataset.c_dim))
-        cam = sample_camera_params(k_cam, asdict(cfg.camera), batch_size)
+        origin_angles = None
+        if custom_angles:
+            aidx = rs.randint(len(dataset), size=batch_size)
+            origin_angles = jnp.asarray(np.stack(
+                [dataset.get_camera_angles(i) for i in aidx]).astype(np.float32))
+        cam = sample_camera_params(k_cam, asdict(cfg.camera), batch_size,
+                                   origin_angles=origin_angles)
         yield {'c': c, 'camera_params': cam, 'key': key}
 
 

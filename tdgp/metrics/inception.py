@@ -183,11 +183,15 @@ def preprocess(images_uint8: jnp.ndarray, size: int = 299) -> jnp.ndarray:
 
 
 def load_weights(path: str) -> Dict[str, Any]:
-    """Load converted .npz into the {'params', 'batch_stats'} variable tree."""
+    """Load converted .npz into the {'params', 'batch_stats'} variable tree.
+    `__meta__/...` entries (e.g. the fid_pool marker written by
+    scripts/convert_inception.py) are skipped — read them via npz_meta."""
     import flax
     flat = dict(np.load(path))
     tree: Dict[str, Any] = {}
     for key, value in flat.items():
+        if key.startswith('__meta__'):
+            continue
         parts = key.split('/')
         node = tree
         for p in parts[:-1]:
@@ -196,9 +200,23 @@ def load_weights(path: str) -> Dict[str, Any]:
     return flax.core.freeze(tree).unfreeze()
 
 
+def npz_meta(path: str) -> Dict[str, Any]:
+    """Converter-written metadata (`__meta__/<name>` scalar arrays)."""
+    flat = np.load(path)
+    return {k[len('__meta__/'):]: np.asarray(flat[k]).item()
+            for k in flat.files if k.startswith('__meta__/')}
+
+
 def make_detector(variables: Dict[str, Any], return_logits: bool = False,
-                  batch_jit: bool = True):
-    model = InceptionV3FID()
+                  batch_jit: bool = True, fid_pool: bool = False):
+    """fid_pool=True selects pytorch-fid's count_include_pad=False branch
+    pools — required for pt_inception-2015-12-05 weights (the reference's
+    FID network); torchvision weights use False."""
+    num_logits = 1008
+    fc_bias = variables.get('params', {}).get('fc', {}).get('bias')
+    if fc_bias is not None:
+        num_logits = int(np.asarray(fc_bias).shape[0])
+    model = InceptionV3FID(num_logits=num_logits, fid_pool=fid_pool)
 
     def fwd(images_uint8):
         feats, logits = model.apply(variables, preprocess(images_uint8))

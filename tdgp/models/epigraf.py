@@ -54,6 +54,16 @@ def resolve_sample_impl(impl: str, h: int, w: int) -> str:
     return 'fused' if (on_tpu and w % 128 == 0 and h % 2 == 0) else 'jnp'
 
 
+def resolve_sample_save(mode: str) -> str:
+    """'auto' -> 'remat' (minimal memory) pending the round-3 measurement
+    of the save modes (docs/DESIGN.md ledger); 'save_bf16' trades
+    ~0.8 GB/pass of bf16 corner residuals (satellite batch 8) for one full
+    gather sweep per render pass in the backward."""
+    if mode != 'auto':
+        return mode
+    return 'remat'
+
+
 def tri_plane_sample(planes, coords: jnp.ndarray, scale: float,
                      impl: str = 'jnp', pack: str = 'pair') -> jnp.ndarray:
     """Sample 3 axis-aligned planes at 3D points and average them
@@ -227,11 +237,17 @@ class SynthesisNetwork(nn.Module):
                                    patch_params=patch_params)
         opts = self._render_opts(cut_quantile=cut_quantile)
 
-        # remat: recompute plane gathers + MLP in the backward pass instead of
-        # storing activations for every ray sample (two passes x 64 steps) —
-        # trades cheap FLOPs for the dominant HBM cost of training.
+        # remat: recompute the MLP (and, under 'remat' save mode, the plane
+        # gathers too) in the backward pass instead of storing activations
+        # for every ray sample (two passes x 64 steps) — trades cheap FLOPs
+        # for the dominant HBM cost of training. Under 'save_bf16'/'save_f32'
+        # the gather sits OUTSIDE the remat region: its corner-value
+        # residuals are saved so the backward skips one gather sweep per
+        # pass (the splat plane-gradient needs only coords + cotangents).
         impl = resolve_sample_impl(c.plane_sample_impl, planes.shape[1],
                                    planes.shape[2])
+        save_mode = resolve_sample_save(c.sample_save)
+        residual_dtype = 'bf16' if save_mode == 'save_bf16' else 'table'
         if impl in ('fused', 'fused_interpret') and c.plane_pack != 'none':
             # hoist the packed-table build OUT of the remat region: built
             # once per step instead of once per pass per direction (4x);
@@ -243,7 +259,7 @@ class SynthesisNetwork(nn.Module):
             def sample_fn(table_, coords):
                 return triplane_sample_packed(
                     table_, coords, c.camera.cube_scale, pshape, c.plane_pack,
-                    impl == 'fused_interpret')
+                    impl == 'fused_interpret', residual_dtype)
         else:
             operand = planes
 
@@ -252,13 +268,25 @@ class SynthesisNetwork(nn.Module):
                                         scale=c.camera.cube_scale,
                                         impl=impl, pack=c.plane_pack)
 
-        def _run(mlp, operand_, coords):
-            return mlp(sample_fn(operand_, coords))
+        if save_mode in ('save_bf16', 'save_f32'):
+            def _mlp_only(mlp, feats):
+                return mlp(feats)
 
-        _run_remat = nn.remat(_run)
+            _mlp_remat = nn.remat(_mlp_only)
 
-        def run_model(coords):
-            return _run_remat(self.tri_plane_mlp, operand, coords)
+            def run_model(coords):
+                feats = sample_fn(operand, coords)
+                return _mlp_remat(self.tri_plane_mlp, feats)
+        else:
+            assert save_mode == 'remat', save_mode
+
+            def _run(mlp, operand_, coords):
+                return mlp(sample_fn(operand_, coords))
+
+            _run_remat = nn.remat(_run)
+
+            def run_model(coords):
+                return _run_remat(self.tri_plane_mlp, operand, coords)
 
         key = self.make_rng('render') if train else jax.random.PRNGKey(0)
         noise_std = nerf_noise_std if train else 0.0

@@ -507,11 +507,12 @@ def _embed_gplanes(g_planes: jnp.ndarray, pack: str) -> jnp.ndarray:
     return jnp.concatenate([gq, z, z, z], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def triplane_sample_packed(table: jnp.ndarray, coords: jnp.ndarray,
                            scale: float, shape: Tuple[int, int, int, int],
                            pack: str = 'pair',
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           residual_dtype: str = 'table') -> jnp.ndarray:
     """triplane_sample_fused with the packed table as the INPUT.
 
     Callers build the table once per step via build_sample_table OUTSIDE
@@ -519,6 +520,12 @@ def triplane_sample_packed(table: jnp.ndarray, coords: jnp.ndarray,
     fine pass, forward + backward replay). shape = (N3, H, W, F) of the
     original planes. Gradients flow to the table through _embed_gplanes —
     the build's autodiff VJP then maps them back onto the planes exactly.
+
+    residual_dtype: dtype of the saved corner-value residuals ('table'
+    keeps the table dtype; 'bf16' halves residual HBM when this op runs
+    OUTSIDE a remat region, i.e. GeneratorConfig.sample_save='save_bf16').
+    The residuals feed only the d/d coords products — bf16 there costs
+    ~3 decimal digits on a gradient that is itself noise-dominated.
     """
     n3, _, _, F = shape
     n = n3 // 3
@@ -528,16 +535,18 @@ def triplane_sample_packed(table: jnp.ndarray, coords: jnp.ndarray,
     return jnp.mean(feats.reshape(n, 3, P, F), axis=1).astype(jnp.float32)
 
 
-def _packed_fwd(table, coords, scale, shape, pack, interpret):
+def _packed_fwd(table, coords, scale, shape, pack, interpret, residual_dtype):
     n3, _, _, F = shape
     n = n3 // 3
     P = coords.shape[1]
     feats, vals4 = _gather_packed(table, coords, scale, shape, pack)
     out = jnp.mean(feats.reshape(n, 3, P, F), axis=1).astype(jnp.float32)
+    if residual_dtype == 'bf16':
+        vals4 = vals4.astype(jnp.bfloat16)
     return out, (vals4, coords)
 
 
-def _packed_bwd(scale, shape, pack, interpret, res, g):
+def _packed_bwd(scale, shape, pack, interpret, residual_dtype, res, g):
     vals4, coords = res
     n3, H, W, F = shape
     g_planes, g_coords = _sample_bwd(scale, interpret, pack,

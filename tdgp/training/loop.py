@@ -199,7 +199,9 @@ def training_loop(
         collector.report_dict(progress_scalars(sched, ada_p))
         rng, k_post = jax.random.split(rng)
         collector.report_dict(camera_posterior_report(
-            posterior_fn, g_variables(state), k_post, tb=tb, step=cur_nimg))
+            posterior_fn, g_variables(state), k_post, tb=tb, step=cur_nimg,
+            origin_angles=batch.get('gen_camera_angles_g',
+                                    batch.get('camera_angles'))))
         if cur_tick == 2 and t.run_profiling:
             profile_ctx.__exit__(None, None, None)
         if verbose:

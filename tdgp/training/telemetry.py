@@ -83,27 +83,48 @@ def make_camera_posterior_fn(G, cfg: Config, num_samples: int = 1024):
     from tdgp.training.patch import sample_random_c
 
     cam_cfg = asdict(cfg.camera)
+    custom_angles = cfg.camera.origin.angles.dist == 'custom'
 
     @jax.jit
-    def fn(g_vars, rng):
+    def _fn(g_vars, rng, origin_angles):
         kz, kc, kcam = jax.random.split(rng, 3)
         z = jax.random.normal(kz, (num_samples, gc.z_dim))
         c = sample_random_c(kc, num_samples, gc.c_dim)
-        prior = sample_camera_params(kcam, cam_cfg, num_samples)
+        prior = sample_camera_params(kcam, cam_cfg, num_samples,
+                                     origin_angles=origin_angles)
         post = G.apply(g_vars, method=lambda g:
                        g.synthesis.apply_camera_adaptor(prior, z, c))
         return prior, post
+
+    def fn(g_vars, rng, origin_angles=None):
+        if custom_angles:
+            # the 'custom' dist has no prior to draw from — the caller must
+            # feed dataset camera angles (ref training_loop.py:305-312); the
+            # loop tiles the current batch's angles up to num_samples
+            if origin_angles is None:
+                return None
+            origin_angles = jnp.asarray(
+                np.resize(np.asarray(origin_angles), (num_samples, 3)))
+        else:
+            origin_angles = None
+        return _fn(g_vars, rng, origin_angles)
 
     return fn
 
 
 def camera_posterior_report(posterior_fn, g_vars, rng,
                             tb: Optional[TBWriter] = None,
-                            step: int = 0) -> Dict[str, float]:
-    """Scalars (means/stds) + TB histograms for the camera posterior."""
+                            step: int = 0,
+                            origin_angles=None) -> Dict[str, float]:
+    """Scalars (means/stds) + TB histograms for the camera posterior.
+    origin_angles: dataset camera angles for the 'custom' dist (any length;
+    tiled up to the sample count)."""
     if posterior_fn is None:
         return {}
-    prior, post = posterior_fn(g_vars, rng)
+    res = posterior_fn(g_vars, rng, origin_angles=origin_angles)
+    if res is None:  # 'custom' dist without dataset angles: nothing to report
+        return {}
+    prior, post = res
     out: Dict[str, float] = {}
 
     def series(group) -> Dict[str, np.ndarray]:

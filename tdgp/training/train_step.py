@@ -234,6 +234,11 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
         n_micro = (n // bg) if (bg and bg < n) else 1
         if n_micro > 1:
             assert n % bg == 0, f'local batch {n} not divisible by batch_gpu {bg}'
+            # a microbatch that splits an mbstd group would fail later as an
+            # opaque reshape inside D's minibatch-std layer
+            assert bg % cfg.discriminator.mbstd_group_size == 0, \
+                f'batch_gpu {bg} not divisible by mbstd_group_size ' \
+                f'{cfg.discriminator.mbstd_group_size}'
         zg, cg, camg, condg = _sample_gen_inputs(
             k_gen_g, n, cfg, sched, batch.get('gen_c_g'),
             batch.get('gen_camera_angles_g'))

@@ -211,3 +211,37 @@ def test_generator_fused_ray_march_matches_jnp():
                                   train=False, noise_mode='const')
     np.testing.assert_allclose(np.asarray(img_fused), np.asarray(img_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize('save_mode', ['save_f32', 'save_bf16'])
+def test_generator_sample_save_modes_match_remat(save_mode):
+    """sample_save moves the plane gather outside the remat region; loss
+    gradients must match the in-remat configuration (exactly for f32
+    residuals; near-exactly for bf16, which only touches d/d coords)."""
+    import dataclasses
+
+    z, c, cam = make_inputs(2)
+
+    def g_loss_grads(cfg_gen):
+        g = Generator(cfg_gen)
+        variables = g.init(init_rngs(), z, c, cam, camera_angles_cond=cam.angles,
+                           train=True)
+
+        def loss(params):
+            v = {**variables, 'params': params}
+            img = g.apply(v, z, c, cam, camera_angles_cond=cam.angles,
+                          train=True, rngs=init_rngs(), mutable=['ema'])[0]
+            return jnp.mean(img ** 2)
+
+        return jax.grad(loss)(variables['params'])
+
+    base = dataclasses.replace(CFG.generator, sample_save='remat')
+    mode = dataclasses.replace(CFG.generator, sample_save=save_mode)
+    g_ref = g_loss_grads(base)
+    g_new = g_loss_grads(mode)
+    flat_r = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g_ref)])
+    flat_n = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g_new)])
+    tol = 1e-6 if save_mode == 'save_f32' else 2e-3
+    err = float(jnp.linalg.norm(flat_n - flat_r)
+                / (jnp.linalg.norm(flat_r) + 1e-12))
+    assert err < tol, err

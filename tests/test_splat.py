@@ -203,3 +203,36 @@ def test_packed_sample_bf16_table(setup):
     num = np.linalg.norm(np.asarray(gc_f) - np.asarray(gc_r))
     den = np.linalg.norm(np.asarray(gc_r))
     assert num / den < 0.05, num / den
+
+
+def test_packed_sample_bf16_residuals(setup):
+    """residual_dtype='bf16' (GeneratorConfig.sample_save='save_bf16'):
+    the fp32-table forward is exact; only the d/d coords path sees the
+    bf16-quantized saved corner values."""
+    from tdgp.ops.splat import build_sample_table, triplane_sample_packed
+    planes, coords, _, scale = setup
+    shape = planes.shape
+    table = build_sample_table(planes, 'pair')
+
+    out = triplane_sample_packed(table, coords, scale, shape, 'pair', True,
+                                 'bf16')
+    ref = _tri_plane_sample_jnp(planes, coords, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(pl_, co_, rd):
+        t = build_sample_table(pl_, 'pair')
+        return jnp.sum(triplane_sample_packed(t, co_, scale, shape, 'pair',
+                                              True, rd) ** 2)
+
+    gp_b, gc_b = jax.jit(jax.grad(loss, argnums=(0, 1)),
+                         static_argnums=2)(planes, coords, 'bf16')
+    gp_r, gc_r = jax.jit(jax.grad(loss, argnums=(0, 1)),
+                         static_argnums=2)(planes, coords, 'table')
+    # d/d planes is computed from coords + cotangents only -> exact
+    np.testing.assert_allclose(np.asarray(gp_b), np.asarray(gp_r),
+                               rtol=1e-6, atol=1e-6)
+    # d/d coords reads the bf16 residuals -> bounded relative L2 error
+    num = np.linalg.norm(np.asarray(gc_b) - np.asarray(gc_r))
+    den = np.linalg.norm(np.asarray(gc_r))
+    assert num / den < 0.02, num / den
