@@ -23,6 +23,15 @@ import jax
 # jitter, density noise, patch/camera sampling are per-step RNG consumers)
 jax.config.update('jax_default_prng_impl', 'rbg')
 
+# persistent compile cache: the satellite train step costs minutes of
+# XLA+Mosaic compile per variant; cache hits make bench reruns (and the
+# cost-analysis recompile below) near-free
+import os as _os  # noqa: E402
+jax.config.update('jax_compilation_cache_dir',
+                  _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+
 import jax.numpy as jnp  # noqa: E402
 
 ASSUMED_A100_IMGS_PER_SEC = 20.0
@@ -123,12 +132,12 @@ def run_bench(batch_size: int, batch_gpu=None):
     mfu = None
     flops_per_step = None
     try:
-        # Lowered.cost_analysis avoids a second multi-minute XLA compile;
-        # flops on unoptimized HLO ~= the analytic matmul/conv count
+        # AOT recompile hits the persistent compile cache (warmed by the
+        # jitted calls above), so this costs seconds, not minutes
         fl_plain = step_plain.lower(state, batch, rng, sched) \
-            .cost_analysis()['flops']
+            .compile().cost_analysis()['flops']
         fl_r1 = step_r1.lower(state, batch, rng, sched) \
-            .cost_analysis()['flops']
+            .compile().cost_analysis()['flops']
         flops_per_step = (15 * fl_plain + fl_r1) / 16
         peak = device_peak_flops()
         if peak > 0:

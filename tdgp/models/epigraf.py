@@ -250,16 +250,21 @@ class SynthesisNetwork(nn.Module):
         residual_dtype = 'bf16' if save_mode == 'save_bf16' else 'table'
         if impl in ('fused', 'fused_interpret') and c.plane_pack != 'none':
             # hoist the packed-table build OUT of the remat region: built
-            # once per step instead of once per pass per direction (4x);
-            # gradients ride triplane_sample_packed's table cotangent
-            from tdgp.ops.splat import build_sample_table, triplane_sample_packed
-            pshape = planes.shape
-            operand = build_sample_table(planes, c.plane_pack)
+            # once per step instead of once per pass per direction (4x).
+            # The table is a stop_gradient'd cache — the plane gradient goes
+            # DIRECTLY through triplane_sample_hoisted's splat backward
+            # (the table-cotangent route made XLA materialize 4x-padded
+            # build-VJP transposes, 12 GB at satellite batch-8 'quad')
+            from tdgp.ops.splat import build_sample_table, triplane_sample_hoisted
+            pshape = tuple(planes.shape)
+            table = jax.lax.stop_gradient(build_sample_table(planes, c.plane_pack))
+            operand = (planes, table)
 
-            def sample_fn(table_, coords):
-                return triplane_sample_packed(
-                    table_, coords, c.camera.cube_scale, pshape, c.plane_pack,
-                    impl == 'fused_interpret', residual_dtype)
+            def sample_fn(operand_, coords):
+                planes_, table_ = operand_
+                return triplane_sample_hoisted(
+                    planes_, table_, coords, c.camera.cube_scale, pshape,
+                    c.plane_pack, impl == 'fused_interpret', residual_dtype)
         else:
             operand = planes
 

@@ -114,8 +114,8 @@ def _window_meta(y0i: jnp.ndarray, ws: Tuple[jnp.ndarray, ...], H: int,
 
 # ------------------------------------------------------------------- kernel
 
-def _splat_kernel(chunk_ref, key_ref, first_ref, ent_ref, out_ref, *, F: int,
-                  W: int):
+def _splat_kernel(chunk_ref, key_ref, first_ref, live_ref, ent_ref, zero_ref,
+                  out_ref, *, F: int, W: int):
     j = pl.program_id(0)
     w_id = key_ref[j]
 
@@ -123,31 +123,39 @@ def _splat_kernel(chunk_ref, key_ref, first_ref, ent_ref, out_ref, *, F: int,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    ent = ent_ref[:]                      # [K, F+6]
-    vals = ent[:, :F]                     # [K, F]
-    ekey = ent[:, F:F + 1]                # [K, 1] window key as float (exact)
-    x0f = ent[:, F + 1:F + 2]             # [K, 1]
-    a00 = ent[:, F + 2:F + 3]
-    a01 = ent[:, F + 3:F + 4]
-    a10 = ent[:, F + 4:F + 5]
-    a11 = ent[:, F + 5:F + 6]
+    # dead items (worklist padding / scratch-window runs) skip the MXU work
+    # entirely — at one render pass (3.1M entries) they were ~2/3 of the
+    # static grid and the kernel measured 115 ms; skipping them cuts the
+    # wasted matmuls (profile_splat_prep.py)
+    @pl.when(live_ref[j] == 1)
+    def _():
+        ent = ent_ref[:]                      # [K, F+6]
+        vals = ent[:, :F]                     # [K, F]
+        ekey = ent[:, F:F + 1]                # [K, 1] window key as float (exact)
+        x0f = ent[:, F + 1:F + 2]             # [K, 1]
+        a00 = ent[:, F + 2:F + 3]
+        a01 = ent[:, F + 3:F + 4]
+        a10 = ent[:, F + 4:F + 5]
+        a11 = ent[:, F + 5:F + 6]
 
-    k = ent.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (k, W), 1)
-    x0 = x0f.astype(jnp.int32)                      # exact: |x0| < 2^23
-    c0 = (col == x0).astype(jnp.float32)            # [K, W]
-    c1 = (col == x0 + 1).astype(jnp.float32)
-    match = (ekey.astype(jnp.int32) == w_id).astype(jnp.float32)    # [K, 1]
-    oh_top = (a00 * c0 + a01 * c1) * match
-    oh_bot = (a10 * c0 + a11 * c1) * match
+        k = ent.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (k, W), 1)
+        x0 = x0f.astype(jnp.int32)                      # exact: |x0| < 2^23
+        c0 = (col == x0).astype(jnp.float32)            # [K, W]
+        c1 = (col == x0 + 1).astype(jnp.float32)
+        match = (ekey.astype(jnp.int32) == w_id).astype(jnp.float32)  # [K, 1]
+        oh_top = (a00 * c0 + a01 * c1) * match
+        oh_bot = (a10 * c0 + a11 * c1) * match
 
-    dn = (((0,), (0,)), ((), ()))
-    top = jax.lax.dot_general(vals, oh_top, dn, preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-    bot = jax.lax.dot_general(vals, oh_bot, dn, preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-    out_ref[0, :, :W] += top
-    out_ref[0, :, W:] += bot
+        dn = (((0,), (0,)), ((), ()))
+        top = jax.lax.dot_general(vals, oh_top, dn,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+        bot = jax.lax.dot_general(vals, oh_bot, dn,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+        out_ref[0, :, :W] += top
+        out_ref[0, :, W:] += bot
 
 
 def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
@@ -156,12 +164,18 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
 
     Returns the window table [n_windows + 1, F, 2W] (last row = scratch
     window that absorbs padding entries).
+
+    Zero-initialization: the output aliases a pre-zeroed buffer, so windows
+    with no entries simply keep their zeros and need no synthetic coverage
+    visits (compiled path). Visited windows are zeroed in-kernel on their
+    first worklist item (the write-back of a visited block always overwrites
+    the aliased contents). Interpret mode does not honor the aliasing, so
+    there the caller adds one zero-weight coverage entry per window.
     """
     epad = packed_sorted.shape[0]
     k = _CHUNK
     n_chunks = epad // k
-    # one worklist item per (chunk, key) run; every window is visited at
-    # least once thanks to the synthetic coverage entries added by the caller
+    # one worklist item per (chunk, key) run; static bound
     L = n_chunks + n_windows + 2
 
     prev = jnp.concatenate([keys_sorted[:1] - 1, keys_sorted[:-1]])
@@ -173,24 +187,32 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
     item_chunk = jnp.minimum(starts // k, n_chunks - 1).astype(jnp.int32)
     prev_key = jnp.concatenate([item_key[:1] - 1, item_key[:-1]])
     first = (item_key != prev_key).astype(jnp.int32)
+    # dead items: worklist padding and scratch-window runs (chunk-alignment
+    # padding entries carry key == n_windows) — no useful MXU work
+    live = jnp.logical_and(jnp.logical_not(is_pad),
+                           item_key != n_windows).astype(jnp.int32)
 
     lanes = packed_sorted.shape[1]
+    zero_table = jnp.zeros((n_windows + 1, F, 2 * W), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(L,),
         in_specs=[
-            pl.BlockSpec((k, lanes), lambda j, ci, ki, fi: (ci[j], 0),
+            pl.BlockSpec((k, lanes), lambda j, ci, ki, fi, li: (ci[j], 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, F, 2 * W), lambda j, ci, ki, fi: (ki[j], 0, 0),
+        out_specs=pl.BlockSpec((1, F, 2 * W),
+                               lambda j, ci, ki, fi, li: (ki[j], 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         functools.partial(_splat_kernel, F=F, W=W),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_windows + 1, F, 2 * W), jnp.float32),
+        input_output_aliases={5: 0},
         interpret=interpret,
-    )(item_chunk, item_key, first, packed_sorted)
+    )(item_chunk, item_key, first, live, packed_sorted, zero_table)
 
 
 def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
@@ -223,13 +245,17 @@ def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
     ], axis=1)
     keys = key.reshape(E)
 
-    # synthetic zero-weight coverage entries: every window (incl. the scratch
-    # window) is visited at least once, so the kernel zero-initializes the
-    # whole table and no block is left uninitialized
-    n_cov = n_windows + 1
+    # chunk-alignment padding entries carry the scratch-window key (their
+    # worklist items are marked dead). Interpret mode additionally gets one
+    # zero-weight coverage entry per window: the interpreter does not honor
+    # the output aliasing that keeps unvisited windows zeroed on hardware.
+    n_cov = (n_windows + 1) if interpret else 0
     epad = -(-(E + n_cov) // _CHUNK) * _CHUNK
     n_extra = epad - E
-    extra_keys = jnp.minimum(jnp.arange(n_extra, dtype=jnp.int32), n_windows)
+    if interpret:
+        extra_keys = jnp.minimum(jnp.arange(n_extra, dtype=jnp.int32), n_windows)
+    else:
+        extra_keys = jnp.full((n_extra,), n_windows, dtype=jnp.int32)
     extra = jnp.zeros((n_extra, F + 6), dtype=f32)
     extra = extra.at[:, F].set(extra_keys.astype(f32))
     packed = jnp.concatenate([packed, extra], axis=0)
@@ -246,8 +272,10 @@ def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
     A = A.reshape(n3, H, W, F)
     B = table[nwa:n_windows].reshape(n3, hp, F, 2, W).transpose(0, 1, 3, 4, 2)
     B = B.reshape(n3, H, W, F)
-    # family-B flat row i is absolute row i+1
-    return A.at[:, 1:].add(B[:, :H - 1])
+    # family-B flat row i is absolute row i+1; pad+slice+add fuses into one
+    # elementwise pass (the previous .at[:, 1:].add lowered to a
+    # dynamic-update-slice that XLA scheduled as a separate copy)
+    return A + jnp.pad(B, ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :H]
 
 
 def triplane_splat_ref(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
@@ -555,3 +583,68 @@ def _packed_bwd(scale, shape, pack, interpret, residual_dtype, res, g):
 
 
 triplane_sample_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
+# ------------------------------------ hoisted sample (direct plane VJP)
+
+def table_meta(shape: Tuple[int, int, int, int], pack: str):
+    """(rows, row_width, dtype) of build_sample_table's output for `shape`."""
+    n3, H, W, F = shape
+    dtype = jnp.bfloat16 if pack.endswith('_bf16') else jnp.float32
+    base = pack[:-5] if pack.endswith('_bf16') else pack
+    if base == 'pair':
+        return 2 * n3 * H * (W // 2 + 1), 2 * F, dtype
+    assert base == 'quad', pack
+    return 4 * n3 * (H // 2 + 1) * (W // 2 + 1), 4 * F, dtype
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def triplane_sample_hoisted(planes_flat: jnp.ndarray, table: jnp.ndarray,
+                            coords: jnp.ndarray, scale: float,
+                            shape: Tuple[int, int, int, int],
+                            pack: str = 'pair', interpret: bool = False,
+                            residual_dtype: str = 'table') -> jnp.ndarray:
+    """Packed-table sampling whose plane gradient BYPASSES the table.
+
+    The model builds `table = stop_gradient(build_sample_table(planes))`
+    once per step (hoisted out of the remat region) and passes BOTH planes
+    and table here. Forward gathers from the table; backward computes
+    d/d planes DIRECTLY with the Pallas splat from (coords, cotangent) and
+    returns a symbolic-zero table cotangent. This replaces the
+    triplane_sample_packed + _embed_gplanes + build-autodiff route, whose
+    build VJP made XLA materialize four 4x-padded [n3,hb,2,wb,2,F]
+    transpose cotangents (3 GB each at satellite batch 8 with 'quad' —
+    the round-2 quad OOM). shape = planes_flat.shape as a static tuple.
+    """
+    assert tuple(planes_flat.shape) == tuple(shape), (planes_flat.shape, shape)
+    n3, _, _, F = shape
+    n = n3 // 3
+    P = coords.shape[1]
+    feats, _ = _gather_packed(table, coords, scale, shape, pack)
+    return jnp.mean(feats.reshape(n, 3, P, F), axis=1).astype(jnp.float32)
+
+
+def _hoisted_fwd(planes_flat, table, coords, scale, shape, pack, interpret,
+                 residual_dtype):
+    n3, _, _, F = shape
+    n = n3 // 3
+    P = coords.shape[1]
+    feats, vals4 = _gather_packed(table, coords, scale, shape, pack)
+    out = jnp.mean(feats.reshape(n, 3, P, F), axis=1).astype(jnp.float32)
+    if residual_dtype == 'bf16':
+        vals4 = vals4.astype(jnp.bfloat16)
+    return out, (vals4, coords)
+
+
+def _hoisted_bwd(scale, shape, pack, interpret, residual_dtype, res, g):
+    vals4, coords = res
+    n3, H, W, F = shape
+    g_planes, g_coords = _sample_bwd(scale, interpret, pack,
+                                     (vals4, coords, (n3, H, W, F)), g)
+    rows, width, dtype = table_meta(shape, pack)
+    # the table is a stop_gradient'd cache of build(planes): its cotangent
+    # is dead by construction and XLA DCEs the zeros
+    return g_planes.astype(jnp.float32), jnp.zeros((rows, width), dtype), g_coords
+
+
+triplane_sample_hoisted.defvjp(_hoisted_fwd, _hoisted_bwd)

@@ -59,6 +59,38 @@ def main():
     assert gathered.shape == (2, 2, 4), gathered.shape
     assert np.allclose(gathered[0], 0.0) and np.allclose(gathered[1], 1.0)
 
+    # ---- metric feature stats over a shared cache dir: cold pass computes
+    # (rank-strided subsets + interleaved gather, rank 0 saves, barrier),
+    # warm pass loads via the rank-0 cache-flag broadcast
+    # (ref metric_utils.py:249-258; tdgp/metrics/features.py)
+    cache_dir = os.environ.get('MP_CACHE_DIR')
+    if cache_dir:
+        from tdgp.metrics.features import compute_feature_stats_for_dataset
+
+        class DS:
+            name = 'mpfake'
+
+            def __len__(self):
+                return 16
+
+            def __getitem__(self, i):
+                return {'image': np.full((4, 4, 3), i, np.uint8)}
+
+        def detector(images):
+            return jnp.asarray(np.asarray(images)[:, 0, 0, :1], jnp.float32)
+
+        cold = compute_feature_stats_for_dataset(
+            DS(), detector, detector_name='idx', batch_size=4, max_items=16,
+            cache_dir=cache_dir, capture_all=True)
+        items = np.sort(cold.get_all()[:, 0])
+        assert np.array_equal(items, np.arange(16, dtype=np.float32)), items
+
+        warm = compute_feature_stats_for_dataset(
+            DS(), detector, detector_name='idx', batch_size=4, max_items=16,
+            cache_dir=cache_dir, capture_all=True)
+        assert np.array_equal(np.sort(warm.get_all()[:, 0]), items)
+        print(f'MP_CACHE_OK process={pid}', flush=True)
+
     print(f'MP_OK process={pid}/{nproc}', flush=True)
 
 

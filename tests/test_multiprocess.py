@@ -25,7 +25,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed_collectives():
+def test_two_process_distributed_collectives(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), '_mp_worker.py')
     port = _free_port()
     env_base = {k: v for k, v in os.environ.items()
@@ -34,7 +34,8 @@ def test_two_process_distributed_collectives():
     for pid in range(2):
         env = dict(env_base,
                    COORDINATOR_ADDRESS=f'127.0.0.1:{port}',
-                   NUM_PROCESSES='2', PROCESS_ID=str(pid))
+                   NUM_PROCESSES='2', PROCESS_ID=str(pid),
+                   MP_CACHE_DIR=str(tmp_path / 'metric-cache'))
         procs.append(subprocess.Popen([sys.executable, worker], env=env,
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT, text=True))
@@ -50,3 +51,4 @@ def test_two_process_distributed_collectives():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'process {i} failed:\n{out[-3000:]}'
         assert f'MP_OK process={i}/2' in out, out[-3000:]
+        assert f'MP_CACHE_OK process={i}' in out, out[-3000:]

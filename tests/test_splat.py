@@ -236,3 +236,47 @@ def test_packed_sample_bf16_residuals(setup):
     num = np.linalg.norm(np.asarray(gc_b) - np.asarray(gc_r))
     den = np.linalg.norm(np.asarray(gc_r))
     assert num / den < 0.02, num / den
+
+
+@pytest.mark.parametrize('pack', ['quad', 'pair', 'quad_bf16'])
+def test_hoisted_sample_direct_vjp(setup, pack):
+    """triplane_sample_hoisted: forward == jnp reference; d/d planes goes
+    directly through the splat (the stop_gradient'd table gets a dead
+    cotangent) — the model's production configuration after the round-3
+    build-VJP OOM fix."""
+    from tdgp.ops.splat import build_sample_table, triplane_sample_hoisted
+    planes, coords, _, scale = setup
+    shape = tuple(planes.shape)
+    bf16 = pack.endswith('_bf16')
+
+    table = jax.lax.stop_gradient(build_sample_table(planes, pack))
+    out = triplane_sample_hoisted(planes, table, coords, scale, shape, pack,
+                                  True)
+    ref = _tri_plane_sample_jnp(planes, coords, scale)
+    if bf16:
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=3e-2, atol=3e-2)
+    else:
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    @jax.checkpoint
+    def seg(pl_, table_, co_):
+        return jnp.tanh(triplane_sample_hoisted(pl_, table_, co_, scale,
+                                                shape, pack, True))
+
+    def loss(pl_, co_):
+        table_ = jax.lax.stop_gradient(build_sample_table(pl_, pack))
+        return jnp.sum(seg(pl_, table_, co_) ** 2)
+
+    def loss_ref(pl_, co_):
+        return jnp.sum(jnp.tanh(_tri_plane_sample_jnp(pl_, co_, scale)) ** 2)
+
+    gp_f, gc_f = jax.jit(jax.grad(loss, argnums=(0, 1)))(planes, coords)
+    gp_r, gc_r = jax.grad(loss_ref, argnums=(0, 1))(planes, coords)
+    tol = 0.08 if bf16 else 1e-4
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_r),
+                               rtol=tol, atol=tol)
+    num = np.linalg.norm(np.asarray(gc_f) - np.asarray(gc_r))
+    den = np.linalg.norm(np.asarray(gc_r))
+    assert num / den < (0.05 if bf16 else 1e-4), num / den
