@@ -87,6 +87,9 @@ def run_bench(batch_size: int, batch_gpu=None):
     if save:
         cfg = dataclasses.replace(
             cfg, generator=dataclasses.replace(cfg.generator, sample_save=save))
+    if os.environ.get('TDGP_G_BF16'):  # bf16 decoder top blocks (TODO #2)
+        cfg = dataclasses.replace(
+            cfg, generator=dataclasses.replace(cfg.generator, fp32_only=False))
     state, G, D = create_train_state(cfg, seed=0, local_batch=batch_size)
     step_plain, step_r1 = make_jitted_train_steps(cfg, G, D)
 

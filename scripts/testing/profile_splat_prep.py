@@ -116,10 +116,26 @@ def main():
     t = timeit(unfold, table)
     print(f'window-table unfold         : {t*1e3:8.1f} ms', flush=True)
 
+    # --- bf16-entry variants (round-3 prep diet): the physical row is
+    # lane-padded to 128 either way, so bf16 halves the take's bytes
+    packed_bf = packed_full.astype(jnp.bfloat16)  # layout stand-in ([E,38]bf16)
+    t = timeit(take, packed_bf, perm)
+    print(f'row-take bf16 [E, {F+6}]     : {t*1e3:8.1f} ms', flush=True)
+
+    kern_bf = jax.jit(lambda ps, ks: S._splat_table(
+        ps, ks, n_windows, F, W, False, mxu_bf16=True))
+    t = timeit(kern_bf, packed_sorted, keys_sorted)
+    print(f'pallas accumulate mxu_bf16  : {t*1e3:8.1f} ms', flush=True)
+
     # --- end to end for reference
     full = jax.jit(lambda g, c: S.triplane_splat(g, c, SCALE, n3, H, W))
     t = timeit(full, g_pts, coords)
-    print(f'TOTAL triplane_splat        : {t*1e3:8.1f} ms', flush=True)
+    print(f'TOTAL triplane_splat (f32)  : {t*1e3:8.1f} ms', flush=True)
+
+    full_bf = jax.jit(lambda g, c: S.triplane_splat(
+        g, c, SCALE, n3, H, W, mxu_bf16=True, entry_bf16=True))
+    t = timeit(full_bf, g_pts, coords)
+    print(f'TOTAL triplane_splat (bf16) : {t*1e3:8.1f} ms', flush=True)
 
 
 if __name__ == '__main__':

@@ -38,6 +38,7 @@ The one-hot MXU trick: scatter-add of rows v_e into texel columns t_e equals
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -115,7 +116,7 @@ def _window_meta(y0i: jnp.ndarray, ws: Tuple[jnp.ndarray, ...], H: int,
 # ------------------------------------------------------------------- kernel
 
 def _splat_kernel(chunk_ref, key_ref, first_ref, live_ref, ent_ref, zero_ref,
-                  out_ref, *, F: int, W: int):
+                  out_ref, *, F: int, W: int, mxu_bf16: bool, entry_bf16: bool):
     j = pl.program_id(0)
     w_id = key_ref[j]
 
@@ -129,14 +130,27 @@ def _splat_kernel(chunk_ref, key_ref, first_ref, live_ref, ent_ref, zero_ref,
     # wasted matmuls (profile_splat_prep.py)
     @pl.when(live_ref[j] == 1)
     def _():
-        ent = ent_ref[:]                      # [K, F+6]
+        ent = ent_ref[:]                      # [K, F+6] f32 or [K, F+8] bf16
         vals = ent[:, :F]                     # [K, F]
-        ekey = ent[:, F:F + 1]                # [K, 1] window key as float (exact)
-        x0f = ent[:, F + 1:F + 2]             # [K, 1]
-        a00 = ent[:, F + 2:F + 3]
-        a01 = ent[:, F + 3:F + 4]
-        a10 = ent[:, F + 4:F + 5]
-        a11 = ent[:, F + 5:F + 6]
+        if entry_bf16:
+            # bf16 meta: ints split into two exact-in-bf16 byte lanes
+            # (bf16 holds integers exactly only up to 256)
+            f32 = jnp.float32
+            ekey = (ent[:, F:F + 1].astype(f32) * 256.0
+                    + ent[:, F + 1:F + 2].astype(f32))
+            x0f = (ent[:, F + 2:F + 3].astype(f32) * 256.0
+                   + ent[:, F + 3:F + 4].astype(f32) - 1.0)
+            a00 = ent[:, F + 4:F + 5].astype(f32)
+            a01 = ent[:, F + 5:F + 6].astype(f32)
+            a10 = ent[:, F + 6:F + 7].astype(f32)
+            a11 = ent[:, F + 7:F + 8].astype(f32)
+        else:
+            ekey = ent[:, F:F + 1]            # [K, 1] window key as float (exact)
+            x0f = ent[:, F + 1:F + 2]         # [K, 1]
+            a00 = ent[:, F + 2:F + 3]
+            a01 = ent[:, F + 3:F + 4]
+            a10 = ent[:, F + 4:F + 5]
+            a11 = ent[:, F + 5:F + 6]
 
         k = ent.shape[0]
         col = jax.lax.broadcasted_iota(jnp.int32, (k, W), 1)
@@ -147,19 +161,32 @@ def _splat_kernel(chunk_ref, key_ref, first_ref, live_ref, ent_ref, zero_ref,
         oh_top = (a00 * c0 + a01 * c1) * match
         oh_bot = (a10 * c0 + a11 * c1) * match
 
+        if mxu_bf16:
+            # single-pass bf16 MXU (fp32 accumulate) instead of HIGHEST's
+            # 6-pass fp32 emulation: only the per-entry products round to
+            # bf16 (~0.4% rel), matching the tolerance already accepted for
+            # the bf16 packed tables; accumulation across entries stays f32
+            vals = vals.astype(jnp.bfloat16)
+            oh_top = oh_top.astype(jnp.bfloat16)
+            oh_bot = oh_bot.astype(jnp.bfloat16)
+            prec = jax.lax.Precision.DEFAULT
+        else:
+            vals = vals.astype(jnp.float32)
+            prec = jax.lax.Precision.HIGHEST
         dn = (((0,), (0,)), ((), ()))
         top = jax.lax.dot_general(vals, oh_top, dn,
                                   preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST)
+                                  precision=prec)
         bot = jax.lax.dot_general(vals, oh_bot, dn,
                                   preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST)
+                                  precision=prec)
         out_ref[0, :, :W] += top
         out_ref[0, :, W:] += bot
 
 
 def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
-                 n_windows: int, F: int, W: int, interpret: bool) -> jnp.ndarray:
+                 n_windows: int, F: int, W: int, interpret: bool,
+                 mxu_bf16: bool = False, entry_bf16: bool = False) -> jnp.ndarray:
     """Run the worklist kernel. packed_sorted: [Epad, F+6] sorted by key.
 
     Returns the window table [n_windows + 1, F, 2W] (last row = scratch
@@ -207,7 +234,8 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_splat_kernel, F=F, W=W),
+        functools.partial(_splat_kernel, F=F, W=W, mxu_bf16=mxu_bf16,
+                          entry_bf16=entry_bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_windows + 1, F, 2 * W), jnp.float32),
         input_output_aliases={5: 0},
@@ -216,11 +244,19 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
 
 
 def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
-                   n3: int, H: int, W: int, interpret: bool = False) -> jnp.ndarray:
+                   n3: int, H: int, W: int, interpret: bool = False,
+                   mxu_bf16: bool = False, entry_bf16: bool = False) -> jnp.ndarray:
     """Adjoint of the tri-plane bilinear gather.
 
     g_pts:  [N3, P, F] cotangent rows per (plane, point)
     coords: [N, P, 3] world coordinates
+    mxu_bf16: run the kernel's one-hot accumulation matmuls in bf16 (fp32
+    accumulate) — single MXU pass instead of HIGHEST's 6-pass fp32 emulation.
+    entry_bf16: pack the sorted entry rows in bf16 ([E, F+8] instead of
+    [E, F+6] f32). The row-take of the sorted entries is the largest prep
+    stage (132 ms/pass, profile_splat_prep.py) and the physical row is
+    lane-padded to 128 either way, so bf16 halves the bytes it moves.
+    Integer meta (window key, x0) is split into two exact-in-bf16 byte lanes.
     Returns g_planes [N3, H, W, F].
     """
     assert H % 2 == 0 and W % 128 == 0, (H, W)
@@ -234,15 +270,28 @@ def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
     hp = H // 2
     n_windows = 2 * n3 * hp
     f32 = jnp.float32
-    packed = jnp.concatenate([
-        g_pts.reshape(E, F).astype(f32),
-        key.reshape(E, 1).astype(f32),
-        x0i.reshape(E, 1).astype(f32),
-        avec[0].reshape(E, 1).astype(f32),
-        avec[1].reshape(E, 1).astype(f32),
-        avec[2].reshape(E, 1).astype(f32),
-        avec[3].reshape(E, 1).astype(f32),
-    ], axis=1)
+    if entry_bf16:
+        assert W <= 0x10000 and n_windows + 1 <= 0x10000
+        bf = jnp.bfloat16
+        # x0 can be any value for fully-masked (out-of-plane) corners whose
+        # weights are all zero — clip so the byte split stays exact; the
+        # column match is irrelevant when the weights are zero
+        x1 = jnp.clip(x0i + 1, 0, W)
+        meta = [key >> 8, key & 255, x1 >> 8, x1 & 255]
+        packed = jnp.concatenate(
+            [g_pts.reshape(E, F).astype(bf)]
+            + [m.reshape(E, 1).astype(bf) for m in meta]
+            + [a.reshape(E, 1).astype(bf) for a in avec], axis=1)  # [E, F+8]
+    else:
+        packed = jnp.concatenate([
+            g_pts.reshape(E, F).astype(f32),
+            key.reshape(E, 1).astype(f32),
+            x0i.reshape(E, 1).astype(f32),
+            avec[0].reshape(E, 1).astype(f32),
+            avec[1].reshape(E, 1).astype(f32),
+            avec[2].reshape(E, 1).astype(f32),
+            avec[3].reshape(E, 1).astype(f32),
+        ], axis=1)
     keys = key.reshape(E)
 
     # chunk-alignment padding entries carry the scratch-window key (their
@@ -256,16 +305,27 @@ def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
         extra_keys = jnp.minimum(jnp.arange(n_extra, dtype=jnp.int32), n_windows)
     else:
         extra_keys = jnp.full((n_extra,), n_windows, dtype=jnp.int32)
-    extra = jnp.zeros((n_extra, F + 6), dtype=f32)
-    extra = extra.at[:, F].set(extra_keys.astype(f32))
+    extra = jnp.zeros((n_extra, packed.shape[1]), dtype=packed.dtype)
+    if entry_bf16:
+        extra = extra.at[:, F].set((extra_keys >> 8).astype(packed.dtype))
+        extra = extra.at[:, F + 1].set((extra_keys & 255).astype(packed.dtype))
+    else:
+        extra = extra.at[:, F].set(extra_keys.astype(f32))
     packed = jnp.concatenate([packed, extra], axis=0)
     keys = jnp.concatenate([keys, extra_keys], axis=0)
 
     perm = jnp.argsort(keys)
-    keys_sorted = keys[perm]
     packed_sorted = jnp.take(packed, perm, axis=0)
+    # sorted keys come back out of the sorted rows (exact integer round-trip
+    # through f32 / split-bf16) — saves a second [E]-row gather
+    if entry_bf16:
+        keys_sorted = (packed_sorted[:, F].astype(f32) * 256.0
+                       + packed_sorted[:, F + 1].astype(f32)).astype(jnp.int32)
+    else:
+        keys_sorted = packed_sorted[:, F].astype(jnp.int32)
 
-    table = _splat_table(packed_sorted, keys_sorted, n_windows, F, W, interpret)
+    table = _splat_table(packed_sorted, keys_sorted, n_windows, F, W, interpret,
+                         mxu_bf16=mxu_bf16, entry_bf16=entry_bf16)
 
     nwa = n3 * hp
     A = table[:nwa].reshape(n3, hp, F, 2, W).transpose(0, 1, 3, 4, 2)
@@ -498,8 +558,19 @@ def _sample_bwd(scale, interpret, pack, res, g):
         dgy[:, 1] + dgy[:, 2],          # z: plane xz + plane yz
     ], axis=-1).astype(coords.dtype)    # [N, P, 3]
 
-    # --- d/d planes via the Pallas splat
-    g_planes = triplane_splat(gp, coords, scale, n3, H, W, interpret=interpret)
+    # --- d/d planes via the Pallas splat. Kernel precision follows the pack
+    # mode: bf16 tables already round the forward features to bf16, so the
+    # plane-gradient per-entry products (mxu_bf16) and packed entry rows
+    # (entry_bf16) rounding the same way is a consistent precision point
+    # (accumulation across entries stays fp32 either way).
+    # TDGP_SPLAT_MXU / TDGP_SPLAT_ENTRY = {bf16,f32} override for measurement.
+    is_bf16_pack = pack.endswith('_bf16')
+    mxu = os.environ.get('TDGP_SPLAT_MXU')
+    mxu_bf16 = is_bf16_pack if mxu is None else (mxu == 'bf16')
+    entry = os.environ.get('TDGP_SPLAT_ENTRY')
+    entry_bf16 = is_bf16_pack if entry is None else (entry == 'bf16')
+    g_planes = triplane_splat(gp, coords, scale, n3, H, W, interpret=interpret,
+                              mxu_bf16=mxu_bf16, entry_bf16=entry_bf16)
     return g_planes.astype(jnp.float32), g_coords
 
 

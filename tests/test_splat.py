@@ -105,6 +105,41 @@ def test_fused_grads_under_remat(setup):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_splat_bf16_entries(setup):
+    """entry_bf16 + mxu_bf16 (the kernel precision used with *_bf16 packs):
+    packed entry rows carry bf16 values/weights and byte-split integer meta;
+    the result must match the f32 scatter reference to bf16 tolerance."""
+    planes, coords, g_pts, scale = setup
+    n3, h, w, f = planes.shape
+    out = jax.jit(lambda g, c: triplane_splat(
+        g, c, scale, n3, h, w, interpret=True,
+        mxu_bf16=True, entry_bf16=True))(g_pts, coords)
+    ref = triplane_splat_ref(g_pts, coords, scale, n3, h, w)
+    num = np.linalg.norm(np.asarray(out) - np.asarray(ref))
+    den = np.linalg.norm(np.asarray(ref))
+    assert num / den < 0.01, num / den
+    # integer meta must round-trip exactly: zero-entry texels stay zero
+    assert (np.asarray(out)[np.asarray(ref) == 0] == 0).all()
+
+
+def test_splat_bf16_entries_boundary_rows():
+    """Byte-split meta under boundary conditions (x0=-1, y0=H-1, OOB)."""
+    n, h, w, f = 1, 64, 128, 8
+    scale = 1.0
+    key = jax.random.PRNGKey(3)
+    p = 64
+    coords = jax.random.uniform(key, (n, p, 3), minval=-1.1, maxval=1.1)
+    coords = coords.at[:, :16, 0].set(jnp.linspace(-1.05, -0.95, 16))
+    coords = coords.at[:, 16:32, 0].set(jnp.linspace(0.95, 1.05, 16))
+    g_pts = jax.random.normal(key, (n * 3, p, f), jnp.float32)
+    out = triplane_splat(g_pts, coords, scale, n * 3, h, w, interpret=True,
+                         mxu_bf16=True, entry_bf16=True)
+    ref = triplane_splat_ref(g_pts, coords, scale, n * 3, h, w)
+    num = np.linalg.norm(np.asarray(out) - np.asarray(ref))
+    den = np.linalg.norm(np.asarray(ref))
+    assert num / den < 0.01, num / den
+
+
 def test_splat_boundary_rows():
     """Points whose corners touch rows -1/H-1/H exercise the window remap."""
     n, h, w, f = 1, 64, 128, 8
