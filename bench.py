@@ -87,9 +87,9 @@ def run_bench(batch_size: int, batch_gpu=None):
     if save:
         cfg = dataclasses.replace(
             cfg, generator=dataclasses.replace(cfg.generator, sample_save=save))
-    if os.environ.get('TDGP_G_BF16'):  # bf16 decoder top blocks (TODO #2)
+    if os.environ.get('TDGP_G_FP32'):  # fp32-only decoder control run
         cfg = dataclasses.replace(
-            cfg, generator=dataclasses.replace(cfg.generator, fp32_only=False))
+            cfg, generator=dataclasses.replace(cfg.generator, fp32_only=True))
     state, G, D = create_train_state(cfg, seed=0, local_batch=batch_size)
     step_plain, step_r1 = make_jitted_train_steps(cfg, G, D)
 
@@ -175,19 +175,20 @@ def main():
     # grad accumulation); plain batches as fallback. Each attempt runs in its
     # own process: a failed/OOMed attempt fragments HBM and poisons later
     # attempts in the same process.
-    # measured rungs (v5e 16GB, pair packing + decoder remat): batch 8 plain
-    # = 5.17 imgs/s; (16,8)/(16,none)/(32,8) OOM; (8,4) compile exceeds the
-    # rig's remote-compile budget. Keep the 16GB ladder short — a failed
-    # rung costs ~25 min of Mosaic/XLA compile before it OOMs. Chips with
-    # more HBM (v5p/v6e) get the bigger rungs back.
+    # measured rungs (v5e 16GB, round-3 defaults: quad_bf16 + save_bf16 +
+    # bf16 decoder + hoisted plane-VJP): batch 16 plain = 7.17 imgs/s,
+    # batch 8 = 6.72. Under the round-2 fp32 'pair' code (16,*)/(32,8) all
+    # OOMed; the bf16 tables/decoder freed the difference. Keep the 16GB
+    # ladder short — a failed rung costs ~25 min of Mosaic/XLA compile
+    # before it OOMs. Chips with more HBM (v5p/v6e) get bigger rungs.
     try:
         hbm = jax.devices()[0].memory_stats().get('bytes_limit', 0)
     except Exception:
         hbm = 0
     if hbm > 24 * 1024 ** 3:
-        ladder = ((32, None), (32, 8), (16, None), (8, None), (4, None))
+        ladder = ((64, None), (32, None), (16, None), (8, None), (4, None))
     else:
-        ladder = ((8, None), (4, None))
+        ladder = ((16, None), (8, None), (4, None))
     result = None
     for batch_size, batch_gpu in ladder:
         cmd = [sys.executable, os.path.abspath(__file__), '--single',

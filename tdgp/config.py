@@ -182,8 +182,13 @@ class GeneratorConfig:
     fmaps: float = 1.0
     img_resolution: int = 256
     img_channels: int = 3
+    # 3dgp.yaml runs the generator fp32-only; on TPU the top num_fp16_res
+    # decoder blocks run bf16 instead (wider exponent than the fp16 the
+    # reference avoided; +1.5% step throughput and it halves the plane /
+    # decoder-activation HBM at 512^2 — round-3 ledger). Parity tests pin
+    # fp32_only=True explicitly where they compare against torch.
     num_fp16_res: int = 4
-    fp32_only: bool = True          # 3dgp.yaml: generator runs fp32
+    fp32_only: bool = False
     architecture: str = 'skip'
     use_noise: bool = True
     num_ray_steps: int = 32
@@ -212,9 +217,13 @@ class GeneratorConfig:
     plane_sample_impl: str = 'auto'
     # forward gather packing (ops/splat.py): 'pair' halves the gather row
     # count for a 2x-planes transient table; 'quad' quarters it (4x table);
-    # 'none' is the plain 4-corner gather. Measured 4.4x/6.9x gather
-    # speedups on v5e (scripts/testing/probe_pair_gather.py).
-    plane_pack: str = 'pair'
+    # 'none' is the plain 4-corner gather; '*_bf16' stores the table (and
+    # the splat kernel's entry rows / MXU products) in bf16. Measured on
+    # v5e at satellite batch 8 (docs/DESIGN.md round-3 ledger): pair fp32
+    # 5.26 imgs/s, pair_bf16 5.94, quad_bf16 6.05 — quad_bf16 is the
+    # operating point (its 4x table fits once the plane-VJP is hoisted).
+    # Only consulted by the fused TPU path; the jnp path ignores it.
+    plane_pack: str = 'quad_bf16'
     # ray-march implementation: 'auto' selects the fused Pallas integration
     # kernel (ops/pallas_kernels.py:ray_march_fused) on TPU for the classical
     # marcher, pure-jnp elsewhere / for eval-only render features
@@ -225,7 +234,9 @@ class GeneratorConfig:
     #                 backward skips one full gather sweep per render pass
     #                 at ~0.8 GB/pass of residuals at satellite batch 8)
     #   'save_f32'  — outside, fp32 residuals
-    # 'auto' resolves by measurement (docs/DESIGN.md ledger)
+    # 'auto' resolves by measurement (docs/DESIGN.md round-3 ledger):
+    # 'save_bf16' on the fused TPU path (quad_bf16+save_bf16 measured
+    # 6.62 imgs/s vs 6.05 remat at satellite batch 8), 'remat' elsewhere
     sample_save: str = 'auto'
 
 
@@ -422,6 +433,7 @@ def synth_demo_config() -> Config:
     gen = GeneratorConfig(
         z_dim=128, w_dim=128, c_dim=4, cbase=8192, cmax=256, img_resolution=64,
         num_ray_steps=16, tri_plane=tri, patch=patch, camera=cam,
+        fp32_only=True,  # demo-scale: bf16 buys nothing at 128^2 planes
         nerf_noise_kimg_growth=100,
         depth_adaptor=DepthAdaptorCfg(hid_dim=16, num_hid_layers=2,
                                       kernel_size=3, anneal_kimg=100),
@@ -455,6 +467,7 @@ def tiny_test_config() -> Config:
     gen = GeneratorConfig(
         z_dim=32, w_dim=32, c_dim=4, cbase=1024, cmax=64, img_resolution=64,
         num_ray_steps=4, tri_plane=tri, patch=patch, camera=cam,
+        fp32_only=True,  # tests exercise numerics at fp32
         depth_adaptor=DepthAdaptorCfg(hid_dim=8, num_hid_layers=2, kernel_size=3),
         camera_adaptor=CameraAdaptorCfg(z_dim=32, c_dim=4, hid_dim=16, embed_dim=8),
     )

@@ -54,14 +54,18 @@ def resolve_sample_impl(impl: str, h: int, w: int) -> str:
     return 'fused' if (on_tpu and w % 128 == 0 and h % 2 == 0) else 'jnp'
 
 
-def resolve_sample_save(mode: str) -> str:
-    """'auto' -> 'remat' (minimal memory) pending the round-3 measurement
-    of the save modes (docs/DESIGN.md ledger); 'save_bf16' trades
-    ~0.8 GB/pass of bf16 corner residuals (satellite batch 8) for one full
-    gather sweep per render pass in the backward."""
+def resolve_sample_save(mode: str, impl: str = 'jnp') -> str:
+    """'auto' -> 'save_bf16' on the fused TPU path, 'remat' elsewhere.
+
+    Measured on v5e at satellite batch 8 (docs/DESIGN.md round-3 ledger):
+    save_bf16 trades ~0.8 GB/pass of bf16 corner residuals for one full
+    gather sweep per render pass in the backward — 6.62 vs 6.05 imgs/s
+    with quad_bf16 packing. The jnp path keeps 'remat' (its autodiff
+    residuals are the full gather outputs; CPU/GPU memory profiles differ).
+    """
     if mode != 'auto':
         return mode
-    return 'remat'
+    return 'save_bf16' if impl in ('fused', 'fused_interpret') else 'remat'
 
 
 def tri_plane_sample(planes, coords: jnp.ndarray, scale: float,
@@ -246,7 +250,7 @@ class SynthesisNetwork(nn.Module):
         # pass (the splat plane-gradient needs only coords + cotangents).
         impl = resolve_sample_impl(c.plane_sample_impl, planes.shape[1],
                                    planes.shape[2])
-        save_mode = resolve_sample_save(c.sample_save)
+        save_mode = resolve_sample_save(c.sample_save, impl)
         residual_dtype = 'bf16' if save_mode == 'save_bf16' else 'table'
         if impl in ('fused', 'fused_interpret') and c.plane_pack != 'none':
             # hoist the packed-table build OUT of the remat region: built
