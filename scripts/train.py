@@ -23,7 +23,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--config', default=None, help='YAML config overlay')
     ap.add_argument('--preset', default='default',
-                    choices=['default', 'imagenet', 'satellite', 'tiny', 'synth64', 'stylegan2'])
+                    choices=['default', 'imagenet', 'satellite', 'tiny', 'synth64', 'synth256', 'stylegan2'])
     ap.add_argument('--run-root', default='experiments')
     ap.add_argument('--run-dir', default=None,
                     help='existing experiment dir to resume into (defaults '

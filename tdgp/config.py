@@ -459,6 +459,37 @@ def synth_demo_config() -> Config:
     )
 
 
+def synth256_config() -> Config:
+    """Flagship-shape dynamics config: satellite channel widths at 256^2
+    with 64^2 patches — the exact shape whose throughput bench.py measures —
+    on the 256^2 synthetic sphere dataset (make_synthetic_dataset --res 256).
+
+    Differences from `satellite` are only what the synthetic set forces
+    (KD off, no embeddings, c_dim=4) plus compressed schedules (100-kimg
+    anneals) so patch-scale annealing, nerf-noise growth, depth-adaptor
+    fade and ADA all ENGAGE within a ~100-200 kimg demo run instead of the
+    reference's 10 Mimg production horizons."""
+    cfg = satellite_config(c_dim=4, resolution=256)
+    patch = dataclasses.replace(cfg.generator.patch, anneal_kimg=100)
+    gen = dataclasses.replace(
+        cfg.generator, patch=patch, nerf_noise_kimg_growth=100,
+        depth_adaptor=dataclasses.replace(cfg.generator.depth_adaptor,
+                                          anneal_kimg=100))
+    return dataclasses.replace(
+        cfg, generator=gen,
+        discriminator=dataclasses.replace(cfg.discriminator, embedding_dim=0),
+        loss=dataclasses.replace(cfg.loss, kd=KDCfg(weight=0.0)),
+        training=TrainingConfig(batch_size=16, tick_kimg=2,
+                                snap=5, image_snap=5, val_freq=5,
+                                metrics=('fid2k_full',),
+                                # 2000 images: D overfits without ADA (same
+                                # finding as the synth64 runs)
+                                augment=AugmentCfg(mode='ada', ada_kimg=100)),
+        dataset=DatasetConfig(path='data/synth256', name='synth256',
+                              resolution=256, c_dim=4, use_embeddings=False),
+    )
+
+
 def tiny_test_config() -> Config:
     """A miniature config for unit tests / CI: everything shrunk."""
     cam = CameraConfig()

@@ -69,6 +69,7 @@ PRESETS = {
     'stylegan2': config_mod.stylegan2_config,
     'tiny': config_mod.tiny_test_config,
     'synth64': config_mod.synth_demo_config,
+    'synth256': config_mod.synth256_config,
 }
 
 

@@ -73,6 +73,20 @@ def test_yaml_preset_overlay(tmp_path):
     assert cfg.generator.img_resolution == 128
 
 
+def test_synth256_preset():
+    """Flagship-shape demo preset: satellite widths, 64^2 patches at 256^2,
+    compressed schedules so every anneal engages within a ~100-kimg run."""
+    cfg = load_config(preset='synth256')
+    assert cfg.generator.cbase == 32768          # satellite widths (default)
+    assert cfg.generator.patch.resolution == 64
+    assert cfg.generator.patch.min_scale_trg == 0.25
+    assert cfg.generator.patch.anneal_kimg == 100
+    assert cfg.discriminator.num_additional_start_blocks == 2
+    assert cfg.loss.kd.weight == 0.0
+    assert not cfg.dataset.use_embeddings
+    assert cfg.training.augment.mode == 'ada'
+
+
 def test_torch_ckpt_key_mapping():
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
