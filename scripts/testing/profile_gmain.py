@@ -35,7 +35,7 @@ def main():
     from tdgp.training.train_step import (create_train_state, _sample_gen_inputs)
 
     cfg = satellite_config(c_dim=0, resolution=256)
-    n = 8
+    n = int(os.environ.get('N', '8'))
     state, G, D = create_train_state(cfg, seed=0, local_batch=n)
     sched = compute_schedules(cfg, cur_nimg=500_000)
     rng = jax.random.PRNGKey(0)

@@ -127,6 +127,11 @@ def main():
     t = timeit(kern_bf, packed_sorted, keys_sorted)
     print(f'pallas accumulate mxu_bf16  : {t*1e3:8.1f} ms', flush=True)
 
+    kern_tbf = jax.jit(lambda ps, ks: S._splat_table(
+        ps, ks, n_windows, F, W, False, mxu_bf16=True, table_bf16=True))
+    t = timeit(kern_tbf, packed_sorted, keys_sorted)
+    print(f'pallas accumulate table_bf16: {t*1e3:8.1f} ms', flush=True)
+
     # --- end to end for reference
     full = jax.jit(lambda g, c: S.triplane_splat(g, c, SCALE, n3, H, W))
     t = timeit(full, g_pts, coords)
@@ -136,6 +141,11 @@ def main():
         g, c, SCALE, n3, H, W, mxu_bf16=True, entry_bf16=True))
     t = timeit(full_bf, g_pts, coords)
     print(f'TOTAL triplane_splat (bf16) : {t*1e3:8.1f} ms', flush=True)
+
+    full_tbf = jax.jit(lambda g, c: S.triplane_splat(
+        g, c, SCALE, n3, H, W, mxu_bf16=True, entry_bf16=True, table_bf16=True))
+    t = timeit(full_tbf, g_pts, coords)
+    print(f'TOTAL splat (bf16+tablebf16): {t*1e3:8.1f} ms', flush=True)
 
 
 if __name__ == '__main__':

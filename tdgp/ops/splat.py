@@ -49,7 +49,11 @@ from jax.experimental.pallas import tpu as pltpu
 # plane projections: x/y, x/z, y/z (ref tri_plane_renderer.py:577-581)
 _PROJ = ((0, 1), (0, 2), (1, 2))
 
-_CHUNK = 512  # entries per kernel chunk (tuned on v5e; see probe ledger)
+# entries per kernel chunk. The worklist has one item per (chunk, window)
+# run, so larger chunks trade VMEM scratch + wasted masked MXU work for
+# fewer sequential grid steps (~ n_chunks + n_visited_windows of them);
+# TDGP_SPLAT_CHUNK is the measurement knob.
+_CHUNK = int(os.environ.get('TDGP_SPLAT_CHUNK', '512'))
 
 
 # --------------------------------------------------------------------- prep
@@ -115,23 +119,36 @@ def _window_meta(y0i: jnp.ndarray, ws: Tuple[jnp.ndarray, ...], H: int,
 
 # ------------------------------------------------------------------- kernel
 
-def _splat_kernel(chunk_ref, key_ref, first_ref, live_ref, ent_ref, zero_ref,
-                  out_ref, *, F: int, W: int, mxu_bf16: bool, entry_bf16: bool):
+def _splat_kernel(chunk_ref, key_ref, first_ref, live_ref, cfirst_ref,
+                  last_ref, ent_ref, zero_ref, out_ref,
+                  oh_top_ref, oh_bot_ref, key_sc_ref, acc_ref,
+                  *, F: int, W: int, mxu_bf16: bool, entry_bf16: bool,
+                  table_bf16: bool):
     j = pl.program_id(0)
     w_id = key_ref[j]
+    acc_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
+
+    # table_bf16: accumulate in an fp32 VMEM scratch across a window's run
+    # and write the [F, 2W] block to HBM once (in bf16) on the run's last
+    # item — halves the kernel's table write + the unfold's read without
+    # rounding the cross-entry accumulation. A window's items are
+    # consecutive in the worklist (entries are key-sorted), so the single
+    # write lands before the block index moves on.
+    tgt = acc_ref if table_bf16 else out_ref
 
     @pl.when(first_ref[j] == 1)
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        tgt[:] = jnp.zeros_like(tgt)
 
-    # dead items (worklist padding / scratch-window runs) skip the MXU work
-    # entirely — at one render pass (3.1M entries) they were ~2/3 of the
-    # static grid and the kernel measured 115 ms; skipping them cuts the
-    # wasted matmuls (profile_splat_prep.py)
-    @pl.when(live_ref[j] == 1)
+    # per-CHUNK one-hot build, hoisted into VMEM scratch: a chunk's entries
+    # span several window runs, and rebuilding the [K, W] weighted one-hots
+    # per (chunk, window) item made the VPU construction — not the MXU —
+    # the kernel's cost center. The window-independent part (bilinear
+    # weights at columns x0/x0+1) is built once per chunk; each item then
+    # applies only its membership row-mask (one multiply).
+    @pl.when((cfirst_ref[j] == 1) & (live_ref[j] == 1))
     def _():
         ent = ent_ref[:]                      # [K, F+6] f32 or [K, F+8] bf16
-        vals = ent[:, :F]                     # [K, F]
         if entry_bf16:
             # bf16 meta: ints split into two exact-in-bf16 byte lanes
             # (bf16 holds integers exactly only up to 256)
@@ -157,22 +174,25 @@ def _splat_kernel(chunk_ref, key_ref, first_ref, live_ref, ent_ref, zero_ref,
         x0 = x0f.astype(jnp.int32)                      # exact: |x0| < 2^23
         c0 = (col == x0).astype(jnp.float32)            # [K, W]
         c1 = (col == x0 + 1).astype(jnp.float32)
-        match = (ekey.astype(jnp.int32) == w_id).astype(jnp.float32)  # [K, 1]
-        oh_top = (a00 * c0 + a01 * c1) * match
-        oh_bot = (a10 * c0 + a11 * c1) * match
+        oh_top_ref[:] = (a00 * c0 + a01 * c1).astype(acc_dtype)
+        oh_bot_ref[:] = (a10 * c0 + a11 * c1).astype(acc_dtype)
+        key_sc_ref[:] = ekey.astype(jnp.float32)        # [K, 1]
 
-        if mxu_bf16:
-            # single-pass bf16 MXU (fp32 accumulate) instead of HIGHEST's
-            # 6-pass fp32 emulation: only the per-entry products round to
-            # bf16 (~0.4% rel), matching the tolerance already accepted for
-            # the bf16 packed tables; accumulation across entries stays f32
-            vals = vals.astype(jnp.bfloat16)
-            oh_top = oh_top.astype(jnp.bfloat16)
-            oh_bot = oh_bot.astype(jnp.bfloat16)
-            prec = jax.lax.Precision.DEFAULT
-        else:
-            vals = vals.astype(jnp.float32)
-            prec = jax.lax.Precision.HIGHEST
+    # dead items (worklist padding / scratch-window runs) skip the MXU work
+    # entirely — at one render pass (3.1M entries) they were ~2/3 of the
+    # static grid; skipping them cuts the wasted matmuls
+    @pl.when(live_ref[j] == 1)
+    def _():
+        vals = ent_ref[:, :F].astype(acc_dtype)         # [K, F]
+        match = (key_sc_ref[:].astype(jnp.int32) == w_id).astype(acc_dtype)
+        oh_top = oh_top_ref[:] * match                  # [K, W] row-masked
+        oh_bot = oh_bot_ref[:] * match
+        # mxu_bf16: single-pass bf16 MXU (fp32 accumulate) instead of
+        # HIGHEST's 6-pass fp32 emulation — only per-entry products round
+        # to bf16 (~0.4% rel), the tolerance already accepted for bf16
+        # packed tables; accumulation across entries stays f32
+        prec = (jax.lax.Precision.DEFAULT if mxu_bf16
+                else jax.lax.Precision.HIGHEST)
         dn = (((0,), (0,)), ((), ()))
         top = jax.lax.dot_general(vals, oh_top, dn,
                                   preferred_element_type=jnp.float32,
@@ -180,13 +200,23 @@ def _splat_kernel(chunk_ref, key_ref, first_ref, live_ref, ent_ref, zero_ref,
         bot = jax.lax.dot_general(vals, oh_bot, dn,
                                   preferred_element_type=jnp.float32,
                                   precision=prec)
-        out_ref[0, :, :W] += top
-        out_ref[0, :, W:] += bot
+        if table_bf16:
+            acc_ref[:, :W] += top
+            acc_ref[:, W:] += bot
+        else:
+            out_ref[0, :, :W] += top
+            out_ref[0, :, W:] += bot
+
+    if table_bf16:
+        @pl.when((last_ref[j] == 1) & (live_ref[j] == 1))
+        def _():
+            out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
 def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
                  n_windows: int, F: int, W: int, interpret: bool,
-                 mxu_bf16: bool = False, entry_bf16: bool = False) -> jnp.ndarray:
+                 mxu_bf16: bool = False, entry_bf16: bool = False,
+                 table_bf16: bool = False) -> jnp.ndarray:
     """Run the worklist kernel. packed_sorted: [Epad, F+6] sorted by key.
 
     Returns the window table [n_windows + 1, F, 2W] (last row = scratch
@@ -218,34 +248,50 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
     # padding entries carry key == n_windows) — no useful MXU work
     live = jnp.logical_and(jnp.logical_not(is_pad),
                            item_key != n_windows).astype(jnp.int32)
+    # first item of each chunk (sorted keys put dead runs last within a
+    # chunk, so a chunk with any live item has a live first item — the
+    # scratch one-hot build can safely gate on cfirst & live)
+    prev_chunk = jnp.concatenate([item_chunk[:1] - 1, item_chunk[:-1]])
+    cfirst = (item_chunk != prev_chunk).astype(jnp.int32)
+    next_key = jnp.concatenate([item_key[1:], item_key[-1:] + 1])
+    last = (item_key != next_key).astype(jnp.int32)
 
     lanes = packed_sorted.shape[1]
-    zero_table = jnp.zeros((n_windows + 1, F, 2 * W), jnp.float32)
+    acc_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    out_dtype = jnp.bfloat16 if table_bf16 else jnp.float32
+    zero_table = jnp.zeros((n_windows + 1, F, 2 * W), out_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(L,),
         in_specs=[
-            pl.BlockSpec((k, lanes), lambda j, ci, ki, fi, li: (ci[j], 0),
+            pl.BlockSpec((k, lanes), lambda j, ci, ki, fi, li, cfi, la: (ci[j], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, F, 2 * W),
-                               lambda j, ci, ki, fi, li: (ki[j], 0, 0),
+                               lambda j, ci, ki, fi, li, cfi, la: (ki[j], 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((k, W), acc_dtype),      # per-chunk one-hot, top row
+            pltpu.VMEM((k, W), acc_dtype),      # per-chunk one-hot, bottom row
+            pltpu.VMEM((k, 1), jnp.float32),    # per-entry window keys
+            pltpu.VMEM((F, 2 * W), jnp.float32),  # fp32 run accumulator
+        ],
     )
     return pl.pallas_call(
         functools.partial(_splat_kernel, F=F, W=W, mxu_bf16=mxu_bf16,
-                          entry_bf16=entry_bf16),
+                          entry_bf16=entry_bf16, table_bf16=table_bf16),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_windows + 1, F, 2 * W), jnp.float32),
-        input_output_aliases={5: 0},
+        out_shape=jax.ShapeDtypeStruct((n_windows + 1, F, 2 * W), out_dtype),
+        input_output_aliases={7: 0},
         interpret=interpret,
-    )(item_chunk, item_key, first, live, packed_sorted, zero_table)
+    )(item_chunk, item_key, first, live, cfirst, last, packed_sorted, zero_table)
 
 
 def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
                    n3: int, H: int, W: int, interpret: bool = False,
-                   mxu_bf16: bool = False, entry_bf16: bool = False) -> jnp.ndarray:
+                   mxu_bf16: bool = False, entry_bf16: bool = False,
+                   table_bf16: bool = False) -> jnp.ndarray:
     """Adjoint of the tri-plane bilinear gather.
 
     g_pts:  [N3, P, F] cotangent rows per (plane, point)
@@ -257,6 +303,9 @@ def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
     stage (132 ms/pass, profile_splat_prep.py) and the physical row is
     lane-padded to 128 either way, so bf16 halves the bytes it moves.
     Integer meta (window key, x0) is split into two exact-in-bf16 byte lanes.
+    table_bf16: store the window table in bf16 (fp32 VMEM run accumulator,
+    one bf16 HBM write per window) — halves the kernel's table write and the
+    unfold's read; rounds each plane-grad texel once.
     Returns g_planes [N3, H, W, F].
     """
     assert H % 2 == 0 and W % 128 == 0, (H, W)
@@ -325,13 +374,14 @@ def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
         keys_sorted = packed_sorted[:, F].astype(jnp.int32)
 
     table = _splat_table(packed_sorted, keys_sorted, n_windows, F, W, interpret,
-                         mxu_bf16=mxu_bf16, entry_bf16=entry_bf16)
+                         mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
+                         table_bf16=table_bf16)
 
     nwa = n3 * hp
     A = table[:nwa].reshape(n3, hp, F, 2, W).transpose(0, 1, 3, 4, 2)
-    A = A.reshape(n3, H, W, F)
+    A = A.reshape(n3, H, W, F).astype(jnp.float32)
     B = table[nwa:n_windows].reshape(n3, hp, F, 2, W).transpose(0, 1, 3, 4, 2)
-    B = B.reshape(n3, H, W, F)
+    B = B.reshape(n3, H, W, F).astype(jnp.float32)
     # family-B flat row i is absolute row i+1; pad+slice+add fuses into one
     # elementwise pass (the previous .at[:, 1:].add lowered to a
     # dynamic-update-slice that XLA scheduled as a separate copy)
@@ -569,8 +619,13 @@ def _sample_bwd(scale, interpret, pack, res, g):
     mxu_bf16 = is_bf16_pack if mxu is None else (mxu == 'bf16')
     entry = os.environ.get('TDGP_SPLAT_ENTRY')
     entry_bf16 = is_bf16_pack if entry is None else (entry == 'bf16')
+    # table_bf16 defaults OFF until measured on-chip (TDGP_SPLAT_TABLE=bf16
+    # is the measurement knob; flip the default with a ledger entry)
+    table = os.environ.get('TDGP_SPLAT_TABLE')
+    table_bf16 = (table == 'bf16')
     g_planes = triplane_splat(gp, coords, scale, n3, H, W, interpret=interpret,
-                              mxu_bf16=mxu_bf16, entry_bf16=entry_bf16)
+                              mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
+                              table_bf16=table_bf16)
     return g_planes.astype(jnp.float32), g_coords
 
 

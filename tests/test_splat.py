@@ -122,6 +122,34 @@ def test_splat_bf16_entries(setup):
     assert (np.asarray(out)[np.asarray(ref) == 0] == 0).all()
 
 
+def test_splat_bf16_table_output(setup):
+    """table_bf16 (bf16 window table + fp32 VMEM run accumulator): one bf16
+    rounding per texel on top of the bf16-entry tolerance."""
+    planes, coords, g_pts, scale = setup
+    n3, h, w, f = planes.shape
+    out = jax.jit(lambda g, c: triplane_splat(
+        g, c, scale, n3, h, w, interpret=True,
+        mxu_bf16=True, entry_bf16=True, table_bf16=True))(g_pts, coords)
+    ref = triplane_splat_ref(g_pts, coords, scale, n3, h, w)
+    num = np.linalg.norm(np.asarray(out) - np.asarray(ref))
+    den = np.linalg.norm(np.asarray(ref))
+    assert num / den < 0.01, num / den
+    assert (np.asarray(out)[np.asarray(ref) == 0] == 0).all()
+
+
+def test_splat_bf16_table_f32_entries(setup):
+    """table_bf16 composes with f32 entries/MXU (env-override measurement
+    combinations must all be correct, not just the default pairing)."""
+    planes, coords, g_pts, scale = setup
+    n3, h, w, f = planes.shape
+    out = jax.jit(lambda g, c: triplane_splat(
+        g, c, scale, n3, h, w, interpret=True, table_bf16=True))(g_pts, coords)
+    ref = triplane_splat_ref(g_pts, coords, scale, n3, h, w)
+    num = np.linalg.norm(np.asarray(out) - np.asarray(ref))
+    den = np.linalg.norm(np.asarray(ref))
+    assert num / den < 0.005, num / den
+
+
 def test_splat_bf16_entries_boundary_rows():
     """Byte-split meta under boundary conditions (x0=-1, y0=H-1, OOB)."""
     n, h, w, f = 1, 64, 128, 8
