@@ -55,17 +55,18 @@ def main():
             'Viewing frustum escapes the scene cube — adjust fov/radius/cube_scale'
     assert cfg.training.batch_size % cfg.discriminator.mbstd_group_size == 0
 
+    if args.dry_run:
+        from tdgp.infra.experiment import config_to_dict
+        import json
+        print(json.dumps(config_to_dict(cfg), indent=2, default=str))
+        return
+
     if args.run_dir:
         run_dir = args.run_dir
         assert os.path.isdir(run_dir), run_dir
     else:
         run_dir = create_experiment_dir(cfg, args.run_root, desc=args.desc)
     print(f'Run dir: {run_dir}')
-    if args.dry_run:
-        from tdgp.infra.experiment import config_to_dict
-        import json
-        print(json.dumps(config_to_dict(cfg), indent=2, default=str))
-        return
 
     import jax
     devices = jax.devices()
