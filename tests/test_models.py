@@ -213,6 +213,45 @@ def test_generator_fused_ray_march_matches_jnp():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_generator_fused_sampling_path_matches_jnp():
+    """Full-G gradient parity between the jnp sampling path and the
+    PRODUCTION TPU path (plane_sample_impl fused + hoisted stop-grad quad
+    table + Pallas splat plane-VJP, interpret mode off-TPU) — pins the
+    epigraf.py wiring (hoisted build, remat interplay, residual save), not
+    just the op-level custom VJP (tests/test_splat.py)."""
+    import dataclasses
+
+    z, c, cam = make_inputs(2)
+    # fused requires plane W % 128 == 0 (splat window layout)
+    tri = dataclasses.replace(CFG.generator.tri_plane, res=128)
+
+    def g_loss_grads(cfg_gen):
+        g = Generator(cfg_gen)
+        variables = g.init(init_rngs(), z, c, cam, camera_angles_cond=cam.angles,
+                           train=True)
+
+        def loss(params):
+            v = {**variables, 'params': params}
+            img = g.apply(v, z, c, cam, camera_angles_cond=cam.angles,
+                          train=True, rngs=init_rngs(), mutable=['ema'])[0]
+            return jnp.mean(img ** 2)
+
+        return jax.grad(loss)(variables['params'])
+
+    base = dataclasses.replace(CFG.generator, tri_plane=tri,
+                               plane_sample_impl='jnp', sample_save='remat')
+    fused = dataclasses.replace(CFG.generator, tri_plane=tri,
+                                plane_sample_impl='fused_interpret',
+                                plane_pack='quad', sample_save='save_f32')
+    g_ref = g_loss_grads(base)
+    g_new = g_loss_grads(fused)
+    flat_r = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g_ref)])
+    flat_n = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g_new)])
+    err = float(jnp.linalg.norm(flat_n - flat_r)
+                / (jnp.linalg.norm(flat_r) + 1e-12))
+    assert err < 1e-4, err
+
+
 @pytest.mark.parametrize('save_mode', ['save_f32', 'save_bf16'])
 def test_generator_sample_save_modes_match_remat(save_mode):
     """sample_save moves the plane gather outside the remat region; loss
