@@ -55,6 +55,15 @@ _PROJ = ((0, 1), (0, 2), (1, 2))
 # TDGP_SPLAT_CHUNK is the measurement knob.
 _CHUNK = int(os.environ.get('TDGP_SPLAT_CHUNK', '512'))
 
+# texel rows per window. 2 = the shipped two-matmul kernel (one window pair
+# per bilinear footprint parity). Wider windows (4, 8, ...) divide n_windows
+# by wrows/2 — and the worklist is ~n_chunks + n_windows sequential grid
+# steps, so if per-item overhead dominates post-hoist (TODO: measure), fewer
+# items win. Wide windows use the generalized single-matmul kernel
+# (_splat_kernel_wide): entries carry a row offset within their window and
+# the one-hot spans [K, wrows*W]. TDGP_SPLAT_WROWS is the measurement knob.
+_WROWS = int(os.environ.get('TDGP_SPLAT_WROWS', '2'))
+
 
 # --------------------------------------------------------------------- prep
 
@@ -115,6 +124,37 @@ def _window_meta(y0i: jnp.ndarray, ws: Tuple[jnp.ndarray, ...], H: int,
     nwa = n3 * hp
     key = parity * nwa + pid * hp + (ytop >> 1)
     return key.astype(jnp.int32), (a00, a01, a10, a11)
+
+
+def _window_meta_wide(y0i: jnp.ndarray, ws: Tuple[jnp.ndarray, ...], H: int,
+                      n3: int, pid: jnp.ndarray, wrows: int):
+    """_window_meta generalized to wrows-row windows.
+
+    Families: A = windows starting at rows 0, wrows, 2*wrows, ...; B = the
+    same grid shifted down by wrows/2. A footprint with (clipped) top row t
+    fits family A unless t % wrows == wrows - 1 (it straddles an A boundary),
+    in which case the B window containing it holds it at row offset
+    wrows/2 - 1. Returns (window key, remapped weights, row offset within
+    the window). wrows == 2 reduces to _window_meta's parity mapping.
+    """
+    w00, w01, w10, w11 = ws
+    half = wrows // 2
+    nw_pp = H // wrows
+    ytop = jnp.clip(y0i, 0, H - 2)
+    sh = ytop - y0i  # 0: rows align; +1: y0=-1 (top corner invalid); -1: y0=H-1
+    zeros = jnp.zeros_like(w00)
+    a00 = jnp.where(sh == 0, w00, jnp.where(sh == 1, w10, zeros))
+    a01 = jnp.where(sh == 0, w01, jnp.where(sh == 1, w11, zeros))
+    a10 = jnp.where(sh == 0, w10, jnp.where(sh == -1, w00, zeros))
+    a11 = jnp.where(sh == 0, w11, jnp.where(sh == -1, w01, zeros))
+    r = ytop % wrows
+    in_b = r == wrows - 1
+    nwa = n3 * nw_pp
+    key_a = pid * nw_pp + ytop // wrows
+    key_b = nwa + pid * nw_pp + (ytop - half) // wrows
+    key = jnp.where(in_b, key_b, key_a)
+    roff = jnp.where(in_b, half - 1, r)
+    return key.astype(jnp.int32), (a00, a01, a10, a11), roff.astype(jnp.int32)
 
 
 # ------------------------------------------------------------------- kernel
@@ -213,10 +253,88 @@ def _splat_kernel(chunk_ref, key_ref, first_ref, live_ref, cfirst_ref,
             out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _splat_kernel_wide(chunk_ref, key_ref, first_ref, live_ref, cfirst_ref,
+                       last_ref, ent_ref, zero_ref, out_ref,
+                       oh_ref, key_sc_ref, acc_ref,
+                       *, F: int, W: int, wrows: int, mxu_bf16: bool,
+                       entry_bf16: bool, table_bf16: bool):
+    """wrows-row window variant: one [K, wrows*W] one-hot, one MXU matmul.
+
+    Each entry's four bilinear weights land at flat columns
+    roff*W + {x0, x0+1} (top corner row) and (roff+1)*W + {x0, x0+1}
+    (bottom). Out-of-plane corners carry zero weight, so the false column
+    collisions their unclipped x0 can produce (e.g. x0+1 == W aliasing the
+    next row's column 0) contribute exactly zero — same invariant the 2-row
+    kernel relies on within its [K, W] one-hots.
+    """
+    j = pl.program_id(0)
+    w_id = key_ref[j]
+    acc_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    tgt = acc_ref if table_bf16 else out_ref
+
+    @pl.when(first_ref[j] == 1)
+    def _():
+        tgt[:] = jnp.zeros_like(tgt)
+
+    @pl.when((cfirst_ref[j] == 1) & (live_ref[j] == 1))
+    def _():
+        ent = ent_ref[:]                  # [K, F+7] f32 or [K, F+9] bf16
+        f32 = jnp.float32
+        if entry_bf16:
+            ekey = (ent[:, F:F + 1].astype(f32) * 256.0
+                    + ent[:, F + 1:F + 2].astype(f32))
+            x0f = (ent[:, F + 2:F + 3].astype(f32) * 256.0
+                   + ent[:, F + 3:F + 4].astype(f32) - 1.0)
+            a00 = ent[:, F + 4:F + 5].astype(f32)
+            a01 = ent[:, F + 5:F + 6].astype(f32)
+            a10 = ent[:, F + 6:F + 7].astype(f32)
+            a11 = ent[:, F + 7:F + 8].astype(f32)
+            rof = ent[:, F + 8:F + 9].astype(f32)   # exact: roff <= wrows-2
+        else:
+            ekey = ent[:, F:F + 1]
+            x0f = ent[:, F + 1:F + 2]
+            a00 = ent[:, F + 2:F + 3]
+            a01 = ent[:, F + 3:F + 4]
+            a10 = ent[:, F + 4:F + 5]
+            a11 = ent[:, F + 5:F + 6]
+            rof = ent[:, F + 6:F + 7]
+
+        k = ent.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (k, wrows * W), 1)
+        top = (rof * W + x0f).astype(jnp.int32)     # exact: |values| < 2^23
+        c0 = (col == top).astype(jnp.float32)
+        c1 = (col == top + 1).astype(jnp.float32)
+        c2 = (col == top + W).astype(jnp.float32)
+        c3 = (col == top + W + 1).astype(jnp.float32)
+        oh_ref[:] = (a00 * c0 + a01 * c1 + a10 * c2 + a11 * c3).astype(acc_dtype)
+        key_sc_ref[:] = ekey.astype(jnp.float32)
+
+    @pl.when(live_ref[j] == 1)
+    def _():
+        vals = ent_ref[:, :F].astype(acc_dtype)     # [K, F]
+        match = (key_sc_ref[:].astype(jnp.int32) == w_id).astype(acc_dtype)
+        oh = oh_ref[:] * match                      # [K, wrows*W] row-masked
+        prec = (jax.lax.Precision.DEFAULT if mxu_bf16
+                else jax.lax.Precision.HIGHEST)
+        dn = (((0,), (0,)), ((), ()))
+        blk = jax.lax.dot_general(vals, oh, dn,
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)   # [F, wrows*W]
+        if table_bf16:
+            acc_ref[:] += blk
+        else:
+            out_ref[0] += blk
+
+    if table_bf16:
+        @pl.when((last_ref[j] == 1) & (live_ref[j] == 1))
+        def _():
+            out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
 def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
                  n_windows: int, F: int, W: int, interpret: bool,
                  mxu_bf16: bool = False, entry_bf16: bool = False,
-                 table_bf16: bool = False) -> jnp.ndarray:
+                 table_bf16: bool = False, wrows: int = 2) -> jnp.ndarray:
     """Run the worklist kernel. packed_sorted: [Epad, F+6] sorted by key.
 
     Returns the window table [n_windows + 1, F, 2W] (last row = scratch
@@ -259,7 +377,26 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
     lanes = packed_sorted.shape[1]
     acc_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
     out_dtype = jnp.bfloat16 if table_bf16 else jnp.float32
-    zero_table = jnp.zeros((n_windows + 1, F, 2 * W), out_dtype)
+    wc = wrows * W if wrows != 2 else 2 * W   # window block columns
+    zero_table = jnp.zeros((n_windows + 1, F, wc), out_dtype)
+    if wrows == 2:
+        kernel = functools.partial(_splat_kernel, F=F, W=W, mxu_bf16=mxu_bf16,
+                                   entry_bf16=entry_bf16, table_bf16=table_bf16)
+        scratch = [
+            pltpu.VMEM((k, W), acc_dtype),      # per-chunk one-hot, top row
+            pltpu.VMEM((k, W), acc_dtype),      # per-chunk one-hot, bottom row
+            pltpu.VMEM((k, 1), jnp.float32),    # per-entry window keys
+            pltpu.VMEM((F, wc), jnp.float32),   # fp32 run accumulator
+        ]
+    else:
+        kernel = functools.partial(_splat_kernel_wide, F=F, W=W, wrows=wrows,
+                                   mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
+                                   table_bf16=table_bf16)
+        scratch = [
+            pltpu.VMEM((k, wc), acc_dtype),     # per-chunk one-hot, all rows
+            pltpu.VMEM((k, 1), jnp.float32),    # per-entry window keys
+            pltpu.VMEM((F, wc), jnp.float32),   # fp32 run accumulator
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(L,),
@@ -268,21 +405,15 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, F, 2 * W),
+        out_specs=pl.BlockSpec((1, F, wc),
                                lambda j, ci, ki, fi, li, cfi, la: (ki[j], 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((k, W), acc_dtype),      # per-chunk one-hot, top row
-            pltpu.VMEM((k, W), acc_dtype),      # per-chunk one-hot, bottom row
-            pltpu.VMEM((k, 1), jnp.float32),    # per-entry window keys
-            pltpu.VMEM((F, 2 * W), jnp.float32),  # fp32 run accumulator
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        functools.partial(_splat_kernel, F=F, W=W, mxu_bf16=mxu_bf16,
-                          entry_bf16=entry_bf16, table_bf16=table_bf16),
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_windows + 1, F, 2 * W), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n_windows + 1, F, wc), out_dtype),
         input_output_aliases={7: 0},
         interpret=interpret,
     )(item_chunk, item_key, first, live, cfirst, last, packed_sorted, zero_table)
@@ -291,7 +422,7 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
 def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
                    n3: int, H: int, W: int, interpret: bool = False,
                    mxu_bf16: bool = False, entry_bf16: bool = False,
-                   table_bf16: bool = False) -> jnp.ndarray:
+                   table_bf16: bool = False, wrows: int = None) -> jnp.ndarray:
     """Adjoint of the tri-plane bilinear gather.
 
     g_pts:  [N3, P, F] cotangent rows per (plane, point)
@@ -306,18 +437,26 @@ def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
     table_bf16: store the window table in bf16 (fp32 VMEM run accumulator,
     one bf16 HBM write per window) — halves the kernel's table write and the
     unfold's read; rounds each plane-grad texel once.
+    wrows: texel rows per window (default TDGP_SPLAT_WROWS; see _WROWS).
     Returns g_planes [N3, H, W, F].
     """
-    assert H % 2 == 0 and W % 128 == 0, (H, W)
+    if wrows is None:
+        wrows = _WROWS
+    assert wrows >= 2 and wrows % 2 == 0 and H % wrows == 0, (H, wrows)
+    assert W % 128 == 0, W
     _, P, F = g_pts.shape
     gx, gy = _pixel_coords(coords, scale, H, W)
     x0i, y0i, _tx, _ty, _ms, ws = _corner_meta(gx, gy, H, W)
     pid = jnp.broadcast_to(jnp.arange(n3, dtype=jnp.int32)[:, None], (n3, P))
-    key, avec = _window_meta(y0i, ws, H, n3, pid)
+    if wrows == 2:
+        key, avec = _window_meta(y0i, ws, H, n3, pid)
+        roff = None
+    else:
+        key, avec, roff = _window_meta_wide(y0i, ws, H, n3, pid, wrows)
 
     E = n3 * P
-    hp = H // 2
-    n_windows = 2 * n3 * hp
+    nw_pp = H // wrows                 # windows per plane per family
+    n_windows = 2 * n3 * nw_pp
     f32 = jnp.float32
     if entry_bf16:
         assert W <= 0x10000 and n_windows + 1 <= 0x10000
@@ -327,12 +466,14 @@ def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
         # column match is irrelevant when the weights are zero
         x1 = jnp.clip(x0i + 1, 0, W)
         meta = [key >> 8, key & 255, x1 >> 8, x1 & 255]
-        packed = jnp.concatenate(
-            [g_pts.reshape(E, F).astype(bf)]
-            + [m.reshape(E, 1).astype(bf) for m in meta]
-            + [a.reshape(E, 1).astype(bf) for a in avec], axis=1)  # [E, F+8]
+        cols = ([g_pts.reshape(E, F).astype(bf)]
+                + [m.reshape(E, 1).astype(bf) for m in meta]
+                + [a.reshape(E, 1).astype(bf) for a in avec])
+        if roff is not None:
+            cols.append(roff.reshape(E, 1).astype(bf))  # exact: <= wrows-2
+        packed = jnp.concatenate(cols, axis=1)   # [E, F+8] (+1 wide)
     else:
-        packed = jnp.concatenate([
+        cols = [
             g_pts.reshape(E, F).astype(f32),
             key.reshape(E, 1).astype(f32),
             x0i.reshape(E, 1).astype(f32),
@@ -340,7 +481,10 @@ def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
             avec[1].reshape(E, 1).astype(f32),
             avec[2].reshape(E, 1).astype(f32),
             avec[3].reshape(E, 1).astype(f32),
-        ], axis=1)
+        ]
+        if roff is not None:
+            cols.append(roff.reshape(E, 1).astype(f32))
+        packed = jnp.concatenate(cols, axis=1)    # [E, F+6] (+1 wide)
     keys = key.reshape(E)
 
     # chunk-alignment padding entries carry the scratch-window key (their
@@ -375,17 +519,18 @@ def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
 
     table = _splat_table(packed_sorted, keys_sorted, n_windows, F, W, interpret,
                          mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
-                         table_bf16=table_bf16)
+                         table_bf16=table_bf16, wrows=wrows)
 
-    nwa = n3 * hp
-    A = table[:nwa].reshape(n3, hp, F, 2, W).transpose(0, 1, 3, 4, 2)
+    nwa = n3 * nw_pp
+    half = wrows // 2
+    A = table[:nwa].reshape(n3, nw_pp, F, wrows, W).transpose(0, 1, 3, 4, 2)
     A = A.reshape(n3, H, W, F).astype(jnp.float32)
-    B = table[nwa:n_windows].reshape(n3, hp, F, 2, W).transpose(0, 1, 3, 4, 2)
+    B = table[nwa:n_windows].reshape(n3, nw_pp, F, wrows, W).transpose(0, 1, 3, 4, 2)
     B = B.reshape(n3, H, W, F).astype(jnp.float32)
-    # family-B flat row i is absolute row i+1; pad+slice+add fuses into one
-    # elementwise pass (the previous .at[:, 1:].add lowered to a
+    # family-B flat row i is absolute row i+half; pad+slice+add fuses into
+    # one elementwise pass (the previous .at[:, half:].add lowered to a
     # dynamic-update-slice that XLA scheduled as a separate copy)
-    return A + jnp.pad(B, ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :H]
+    return A + jnp.pad(B, ((0, 0), (half, 0), (0, 0), (0, 0)))[:, :H]
 
 
 def triplane_splat_ref(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,

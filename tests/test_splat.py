@@ -168,6 +168,60 @@ def test_splat_bf16_entries_boundary_rows():
     assert num / den < 0.01, num / den
 
 
+@pytest.mark.parametrize('wrows', [4, 8])
+def test_splat_wide_windows_vs_scatter_ref(setup, wrows):
+    """wrows-row window families (TDGP_SPLAT_WROWS): the generalized
+    single-matmul kernel must match the scatter reference exactly."""
+    planes, coords, g_pts, scale = setup
+    n3, h, w, f = planes.shape
+    out = jax.jit(lambda g, c: triplane_splat(
+        g, c, scale, n3, h, w, interpret=True, wrows=wrows))(g_pts, coords)
+    ref = triplane_splat_ref(g_pts, coords, scale, n3, h, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_splat_wide_windows_bf16(setup):
+    """wide windows compose with the bf16 entry/MXU/table variants."""
+    planes, coords, g_pts, scale = setup
+    n3, h, w, f = planes.shape
+    ref = triplane_splat_ref(g_pts, coords, scale, n3, h, w)
+    for table_bf16 in (False, True):
+        out = jax.jit(lambda g, c: triplane_splat(
+            g, c, scale, n3, h, w, interpret=True, wrows=4,
+            mxu_bf16=True, entry_bf16=True, table_bf16=table_bf16))(
+                g_pts, coords)
+        num = np.linalg.norm(np.asarray(out) - np.asarray(ref))
+        den = np.linalg.norm(np.asarray(ref))
+        assert num / den < 0.01, (table_bf16, num / den)
+        assert (np.asarray(out)[np.asarray(ref) == 0] == 0).all()
+
+
+def test_splat_wide_windows_boundary_rows():
+    """Edge footprints (y0=-1, y0=H-1) and family-B straddlers under wide
+    windows — the row-offset remap's corner cases."""
+    n, h, w, f = 1, 64, 128, 8
+    scale = 1.0
+    key = jax.random.PRNGKey(3)
+    p = 96
+    coords = jax.random.uniform(key, (n, p, 3), minval=-1.1, maxval=1.1)
+    coords = coords.at[:, :16, 1].set(jnp.linspace(-1.05, -0.95, 16))
+    coords = coords.at[:, 16:32, 1].set(jnp.linspace(0.95, 1.05, 16))
+    # rows ≡ wrows-1 (mod wrows): the family-B straddler parity for wrows=4
+    ys = (jnp.arange(16) % (h // 4)) * 4 + 3
+    coords = coords.at[:, 32:48, 1].set(ys / (h - 1) * 2.0 - 1.0 + 1e-4)
+    g_pts = jax.random.normal(key, (n * 3, p, f), jnp.float32)
+    ref = triplane_splat_ref(g_pts, coords, scale, n * 3, h, w)
+    out = triplane_splat(g_pts, coords, scale, n * 3, h, w, interpret=True,
+                         wrows=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    out_bf = triplane_splat(g_pts, coords, scale, n * 3, h, w, interpret=True,
+                            wrows=4, mxu_bf16=True, entry_bf16=True)
+    num = np.linalg.norm(np.asarray(out_bf) - np.asarray(ref))
+    assert num / np.linalg.norm(np.asarray(ref)) < 0.01
+
+
 def test_splat_boundary_rows():
     """Points whose corners touch rows -1/H-1/H exercise the window remap."""
     n, h, w, f = 1, 64, 128, 8
