@@ -24,6 +24,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from tdgp.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     import jax.numpy as jnp
     from scripts.inference import load_run, parse_seeds
     from tdgp import geometry, inference

@@ -61,6 +61,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from tdgp.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     import jax.numpy as jnp
     from tdgp import inference
 

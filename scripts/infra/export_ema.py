@@ -44,6 +44,8 @@ def main():
     args = ap.parse_args()
 
     os.environ.setdefault('JAX_PLATFORMS', 'cpu')  # no device needed
+    from tdgp.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     from tdgp import checkpoint as ckpt
     import orbax.checkpoint as ocp
 

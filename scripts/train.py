@@ -15,6 +15,9 @@ import numpy as np
 
 import jax
 
+from tdgp.utils.platform import honor_jax_platforms_env
+honor_jax_platforms_env()
+
 # rbg PRNG: much faster per-step random sampling on TPU than threefry
 jax.config.update('jax_default_prng_impl', 'rbg')
 
