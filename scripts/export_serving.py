@@ -25,6 +25,9 @@ def main():
     ap.add_argument('--psi', type=float, default=1.0)
     ap.add_argument('--platforms', default=None,
                     help='comma list (tpu,cpu); default = current backend')
+    ap.add_argument('--mesh', type=int, default=1,
+                    help='export batch-sharded over an N-device data mesh '
+                         '(the loading process must run on N devices)')
     ap.add_argument('--out', default=None)
     ap.add_argument('--verify', action='store_true',
                     help='reload the artifact and compare against the live '
@@ -58,12 +61,14 @@ def main():
     platforms = args.platforms.split(',') if args.platforms else None
     blob = serving.export_serving(G, g_vars, args.batch,
                                   truncation_psi=args.psi,
-                                  platforms=platforms)
+                                  platforms=platforms,
+                                  mesh_devices=args.mesh)
     out = args.out or os.path.join(args.run_dir, 'serving.jaxexp')
     with open(out, 'wb') as f:
         f.write(blob)
     print(f'wrote {out} ({len(blob) / 1e6:.1f} MB, batch {args.batch}, '
-          f'psi {args.psi}, platforms {platforms or "current"})')
+          f'psi {args.psi}, platforms {platforms or "current"}, '
+          f'mesh {args.mesh})')
 
     if args.verify:
         import jax.numpy as jnp

@@ -47,11 +47,28 @@ def make_serving_fn(G, g_vars, truncation_psi: float = 1.0,
     return fn
 
 
+def serving_mesh(n_devices: int):
+    """1-D 'data' mesh over the first n_devices local devices — the batch
+    axis of a sharded serving artifact (see export_serving mesh_devices)."""
+    import numpy as np
+    from jax.sharding import Mesh
+    return Mesh(np.asarray(jax.devices()[:n_devices]), ('data',))
+
+
 def export_serving(G, g_vars, batch_size: int, truncation_psi: float = 1.0,
-                   platforms=None, **synthesis_kwargs) -> bytes:
+                   platforms=None, mesh_devices: int = 1,
+                   **synthesis_kwargs) -> bytes:
     """Serialize the serving fn for a fixed batch size. `platforms` (e.g.
     ['tpu'] or ['cpu','tpu']) pins the lowering targets; default = the
-    current backend."""
+    current backend.
+
+    mesh_devices > 1 exports a BATCH-SHARDED artifact: inputs/outputs are
+    split over a 1-D 'data' mesh (rays are embarrassingly parallel, so
+    serving scales over ICI with zero cross-chip communication until the
+    host reads the images). The loading process must run it on the same
+    device count — feed arrays placed with `serving_mesh(n)` +
+    `NamedSharding(mesh, P('data'))` (uncommitted arrays work too; the
+    recorded shardings commit them)."""
     fn = make_serving_fn(G, g_vars, truncation_psi, **synthesis_kwargs)
     gc = G.cfg
     specs = (
@@ -62,7 +79,16 @@ def export_serving(G, g_vars, batch_size: int, truncation_psi: float = 1.0,
         jax.ShapeDtypeStruct((batch_size,), jnp.float32),
         jax.ShapeDtypeStruct((batch_size, 3), jnp.float32),
     )
-    exp = jexport.export(jax.jit(fn), platforms=platforms)(*specs)
+    if mesh_devices > 1:
+        assert batch_size % mesh_devices == 0, (batch_size, mesh_devices)
+        from jax.sharding import NamedSharding, PartitionSpec
+        mesh = serving_mesh(mesh_devices)
+        shard = NamedSharding(mesh, PartitionSpec('data'))
+        jf = jax.jit(fn, in_shardings=(shard,) * len(specs),
+                     out_shardings=shard)
+    else:
+        jf = jax.jit(fn)
+    exp = jexport.export(jf, platforms=platforms)(*specs)
     return bytes(exp.serialize())
 
 
