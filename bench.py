@@ -90,6 +90,15 @@ def run_bench(batch_size: int, batch_gpu=None):
     if os.environ.get('TDGP_G_FP32'):  # fp32-only decoder control run
         cfg = dataclasses.replace(
             cfg, generator=dataclasses.replace(cfg.generator, fp32_only=True))
+    if os.environ.get('TDGP_DMAIN_BF16'):  # bf16 Dmain fake render
+        cfg = dataclasses.replace(
+            cfg, training=dataclasses.replace(cfg.training, dmain_fake_bf16=True))
+    if os.environ.get('TDGP_NO_DECODER_REMAT'):  # save decoder activations
+        cfg = dataclasses.replace(
+            cfg, generator=dataclasses.replace(cfg.generator, decoder_remat=False))
+    if os.environ.get('TDGP_REUSE_FAKES'):  # Dmain reuses Gmain's fakes
+        cfg = dataclasses.replace(
+            cfg, training=dataclasses.replace(cfg.training, dmain_reuse_fakes=True))
     state, G, D = create_train_state(cfg, seed=0, local_batch=batch_size)
     step_plain, step_r1 = make_jitted_train_steps(cfg, G, D)
 

@@ -87,6 +87,22 @@ def main():
     print(f'=> fake-gen share inside Dmain:    {(t_full-t_d)*1e3:8.1f} ms '
           f'(standalone fwd {t_fwd*1e3:.1f} ms)', flush=True)
 
+    # bf16-view fake render (training.dmain_fake_bf16)
+    import dataclasses
+    from tdgp.models.epigraf import Generator
+    G_bf = Generator(dataclasses.replace(
+        cfg.generator, render_bf16=True, fp32_only=False, num_fp16_res=16))
+
+    def gen_fakes_bf16(_):
+        fake_out, fpp, cam_post, _ = losses.g_forward(
+            G_bf, g_vars, zd, cd, camd, condd, sched, rng, cfg)
+        return (jax.lax.stop_gradient(fake_out.img).astype(jnp.float32),
+                jax.lax.stop_gradient(cam_post.angles), fpp)
+
+    t_bf = timeit(jax.jit(gen_fakes_bf16), 0)
+    print(f'fake-gen forward, bf16 view:       {t_bf*1e3:8.1f} ms '
+          f'(vs fp32 {t_fwd*1e3:.1f})', flush=True)
+
 
 if __name__ == '__main__':
     main()

@@ -238,6 +238,17 @@ class GeneratorConfig:
     # 'save_bf16' on the fused TPU path (quad_bf16+save_bf16 measured
     # 6.62 imgs/s vs 6.05 remat at satellite batch 8), 'remat' elsewhere
     sample_save: str = 'auto'
+    # run the render streams (planes, plane features -> MLP -> marcher
+    # rgb/sigma) in bf16. Ray/camera math and sample positions stay fp32
+    # (plane coords at 512^2 exceed bf16's 8-bit mantissa). Used by the
+    # Dmain fake render (training.dmain_fake_bf16), where no gradients
+    # flow through G so only forward bandwidth matters.
+    render_bf16: bool = False
+    # rematerialize the tri-plane decoder in the backward pass (the round-2
+    # memory lever that let batch 16 compile). OFF trades multiple GB of
+    # saved SG2 activations for skipping one decoder replay per backward —
+    # only viable at small batch after the bf16 diet (measure on-chip).
+    decoder_remat: bool = True
 
 
 @dataclass(frozen=True)
@@ -330,6 +341,22 @@ class TrainingConfig:
     batch_size: int = 64
     batch_gpu: Optional[int] = None
     test_batch_gpu: int = 4
+    # Dmain's fake generation differentiates nothing through G (ref
+    # loss.py:256-262 runs G under no sync + detach), so the whole fake
+    # render can run at bf16 bandwidth: a bf16-view Generator (same params,
+    # all-bf16 decoder blocks + render_bf16 streams) generates the fakes D
+    # trains against. Gmain fakes stay at the generator's own precision.
+    # Default OFF until measured on-chip (perf knob, slight D-input shift).
+    dmain_fake_bf16: bool = False
+    # Reuse Gmain's rendered fakes (stop-gradient'd) as Dmain's fakes
+    # instead of rendering a fresh batch — removes one full G forward
+    # (decoder + table + 2 gather sweeps + MLP + marcher) per step. Deviates
+    # from the reference, which draws fresh z and renders from the
+    # just-updated G for Dmain (loss.py:259-262): here D trains against
+    # pre-update-G fakes from the same z that G's step used. Default OFF;
+    # a training-dynamics run must demonstrate FID-neutrality before this
+    # becomes an operating point.
+    dmain_reuse_fakes: bool = False
     use_depth: bool = True
     blur_real_depth_sigma: float = 0.0
     learn_camera_dist: bool = True

@@ -192,7 +192,10 @@ class SynthesisNetwork(nn.Module):
         def run(dec, ws_):
             return dec(ws_, noise_mode=noise_mode)
 
-        out = nn.remat(run)(self.tri_plane_decoder, ws[:, :self.num_ws])
+        if c.decoder_remat:
+            out = nn.remat(run)(self.tri_plane_decoder, ws[:, :self.num_ws])
+        else:
+            out = run(self.tri_plane_decoder, ws[:, :self.num_ws])
         n, h, w, _ = out.shape
         return out.reshape(n, h, w, 3, c.tri_plane.feat_dim)
 
@@ -235,6 +238,10 @@ class SynthesisNetwork(nn.Module):
         h = w = resolution
 
         planes = flatten_planes(self.decode_planes(ws, noise_mode=noise_mode))
+        if c.render_bf16:
+            # bf16 plane storage halves the gather/table-build bandwidth;
+            # coords below stay fp32 (bilinear weights need the mantissa)
+            planes = planes.astype(jnp.bfloat16)
 
         c2w = compute_cam2world_matrix(camera_params)
         ray_o, ray_d = sample_rays(c2w, camera_params.fov, resolution=(w, h),
@@ -277,6 +284,13 @@ class SynthesisNetwork(nn.Module):
                                         scale=c.camera.cube_scale,
                                         impl=impl, pack=c.plane_pack)
 
+        # feats -> MLP in bf16 when render_bf16: FullyConnected follows its
+        # input dtype, so the [P, F] stream and both matmuls run bf16
+        feat_dtype = jnp.bfloat16 if c.render_bf16 else None
+
+        def _cast(feats):
+            return feats.astype(feat_dtype) if feat_dtype is not None else feats
+
         if save_mode in ('save_bf16', 'save_f32'):
             def _mlp_only(mlp, feats):
                 return mlp(feats)
@@ -284,13 +298,13 @@ class SynthesisNetwork(nn.Module):
             _mlp_remat = nn.remat(_mlp_only)
 
             def run_model(coords):
-                feats = sample_fn(operand, coords)
+                feats = _cast(sample_fn(operand, coords))
                 return _mlp_remat(self.tri_plane_mlp, feats)
         else:
             assert save_mode == 'remat', save_mode
 
             def _run(mlp, operand_, coords):
-                return mlp(sample_fn(operand_, coords))
+                return mlp(_cast(sample_fn(operand_, coords)))
 
             _run_remat = nn.remat(_run)
 

@@ -153,9 +153,15 @@ def _microbatched_grad(loss_fn, params, data, n_micro: int):
     has leading dim n = n_micro * micro. Returns ((loss, aux), grads)
     averaged over microbatches via a lax.scan (one compiled body at micro
     size — this is also what lets batch 16 @256^2 compile on one chip).
+
+    Per-sample outputs: an aux entry under the key '_collect' (a pytree of
+    arrays with leading dim = micro) is STACKED across microbatches and
+    reshaped back to leading dim n instead of being averaged — used to hand
+    Gmain's rendered fakes to the Dmain phase (dmain_reuse_fakes).
     """
     vg = jax.value_and_grad(loss_fn, has_aux=True)
     if n_micro <= 1:
+        # '_collect' already has leading dim n — passes through unchanged
         return vg(params, data)
 
     def split(x):
@@ -164,14 +170,28 @@ def _microbatched_grad(loss_fn, params, data, n_micro: int):
     data_s = jax.tree.map(split, data)
     first = jax.tree.map(lambda x: x[0], data_s)
     shapes = jax.eval_shape(vg, params, first)
-    init = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    def strip_collect(tree):
+        (loss, aux), grads = tree
+        if isinstance(aux, dict) and '_collect' in aux:
+            aux = {k: v for k, v in aux.items() if k != '_collect'}
+        return (loss, aux), grads
+
+    init = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), strip_collect(shapes))
 
     def body(acc, micro):
-        out = vg(params, micro)
-        return jax.tree.map(jnp.add, acc, out), None
+        (loss, aux), grads = vg(params, micro)
+        collected = aux.pop('_collect', None) if isinstance(aux, dict) else None
+        return jax.tree.map(jnp.add, acc, ((loss, aux), grads)), collected
 
-    acc, _ = jax.lax.scan(body, init, data_s)
-    return jax.tree.map(lambda x: x / n_micro, acc)
+    acc, collected = jax.lax.scan(body, init, data_s)
+    (loss, aux), grads = jax.tree.map(lambda x: x / n_micro, acc)
+    if collected is not None:
+        # [n_micro, micro, ...] -> [n, ...]
+        aux = dict(aux)
+        aux['_collect'] = jax.tree.map(
+            lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), collected)
+    return (loss, aux), grads
 
 
 def _sample_gen_inputs(key, batch_size: int, cfg: Config, sched: Schedules,
@@ -202,6 +222,18 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
     adv = cfg.loss.adv_loss_type
     clamp = cfg.discriminator.logits_clamp_val
     is_2d = cfg.model_name == 'stylegan2'
+
+    # Dmain fake render at bf16 bandwidth (training.dmain_fake_bf16): a
+    # second Generator VIEW over the same params — all decoder blocks bf16
+    # (num_fp16_res covers the whole stack) + bf16 render streams. Params
+    # are runtime-cast by the layers, so the param tree is identical and
+    # G.apply/G_fake.apply are interchangeable.
+    G_fake = G
+    if cfg.training.dmain_fake_bf16 and not is_2d:
+        import dataclasses
+        G_fake = Generator(dataclasses.replace(
+            cfg.generator, render_bf16=True, fp32_only=False, num_fp16_res=16))
+    reuse_fakes = cfg.training.dmain_reuse_fakes and not is_2d
 
     augment_pipe = None
     if cfg.training.augment.mode != 'noaug':
@@ -262,12 +294,21 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
             aux = {'Loss/G/loss': loss_gmain,
                    'Loss/scores/fake': jnp.mean(logits),
                    'Loss/signs/fake': jnp.mean(jnp.sign(logits))}
+            if reuse_fakes:
+                col = {'img': jax.lax.stop_gradient(out.img)}
+                if not is_2d:
+                    col['angles'] = jax.lax.stop_gradient(cam_post.angles)
+                if patch_params is not None:
+                    col['scales'] = patch_params['scales']
+                    col['offsets'] = patch_params['offsets']
+                aux['_collect'] = col
             return loss_gmain, aux
 
         g_md = {'z': zg, 'c': cg, 'cam': camg, 'cond': condg,
                 'idx': jnp.arange(n, dtype=jnp.int32)}
         (g_loss, g_aux), g_grads = _microbatched_grad(
             g_adv_loss, state.g_params, g_md, n_micro)
+        reused = g_aux.pop('_collect', None) if reuse_fakes else None
 
         # camera-adaptor regularizers once per step (they sample their own
         # batches internally — ref loss.py:143-232); grads are additive
@@ -407,18 +448,28 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
             kf = jax.random.fold_in(k_dg, md['idx'][0])
             ka1 = jax.random.fold_in(jax.random.fold_in(k_aug, 1), md['idx'][0])
             ka2 = jax.random.fold_in(jax.random.fold_in(k_aug, 2), md['idx'][0])
-            if is_2d:
+            if 'fake_img' in md:  # dmain_reuse_fakes: Gmain's render, with
+                fake_c = md['cg']  # the labels/angles/patch it was made with
+                fake_img = md['fake_img'].astype(jnp.float32)
+                fake_angles = md['fake_angles']
+                fpp = ({'scales': md['fake_scales'], 'offsets': md['fake_offsets']}
+                       if 'fake_scales' in md else None)
+            elif is_2d:
                 fake_out, fpp, _ = losses.g_forward_2d(
                     G, new_g_vars, md['zd'], md['cd'], sched, kf, cfg)
                 fake_angles = md['cam'].angles
+                fake_img = jax.lax.stop_gradient(fake_out.img)
+                fake_c = md['cd']
             else:
                 fake_out, fpp, cam_post, _ = losses.g_forward(
-                    G, new_g_vars, md['zd'], md['cd'], md['cam'], md['cond'],
+                    G_fake, new_g_vars, md['zd'], md['cd'], md['cam'], md['cond'],
                     sched, kf, cfg)
                 fake_angles = jax.lax.stop_gradient(cam_post.angles)
-            fake_img = jax.lax.stop_gradient(fake_out.img)
+                # fp32 before D so its input dtype matches the real branch
+                fake_img = jax.lax.stop_gradient(fake_out.img).astype(jnp.float32)
+                fake_c = md['cd']
             fake_logits, _ = losses.d_forward(
-                D, d_vars, fake_img, md['cd'], sched, cfg,
+                D, d_vars, fake_img, fake_c, sched, cfg,
                 patch_params=fpp, camera_angles=fake_angles,
                 augment_fn=augment_fn, rng=ka1)
             real_logits, real_feats = losses.d_forward(
@@ -447,6 +498,13 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
                 'idx': jnp.arange(n, dtype=jnp.int32)}
         if real_pp is not None:
             d_md['rpp'] = real_pp
+        if reused is not None:
+            d_md['fake_img'] = reused['img']
+            d_md['fake_angles'] = reused['angles']
+            d_md['cg'] = cg
+            if 'scales' in reused:
+                d_md['fake_scales'] = reused['scales']
+                d_md['fake_offsets'] = reused['offsets']
         (d_loss, d_aux), d_grads = _microbatched_grad(
             d_loss_fn, state.d_params, d_md, n_micro)
         d_grads = scrub(pmean(d_grads))

@@ -288,3 +288,31 @@ def test_generator_sample_save_modes_match_remat(save_mode):
     err = float(jnp.linalg.norm(flat_n - flat_r)
                 / (jnp.linalg.norm(flat_r) + 1e-12))
     assert err < tol, err
+
+
+def test_generator_render_bf16_fused_forward():
+    """render_bf16 (the Dmain fake-render precision view) through the
+    PRODUCTION fused sampling path: bf16 planes/table/feats, fp32 coords.
+    Forward-only (the Dmain phase differentiates nothing through G)."""
+    import dataclasses
+
+    z, c, cam = make_inputs(2)
+    tri = dataclasses.replace(CFG.generator.tri_plane, res=128)
+    base = dataclasses.replace(CFG.generator, tri_plane=tri,
+                               plane_sample_impl='jnp', sample_save='remat')
+    bf = dataclasses.replace(CFG.generator, tri_plane=tri,
+                             plane_sample_impl='fused_interpret',
+                             plane_pack='quad_bf16', sample_save='save_bf16',
+                             render_bf16=True)
+    g_ref = Generator(base)
+    variables = g_ref.init(init_rngs(), z, c, cam, camera_angles_cond=cam.angles,
+                           train=True)
+    img_ref = g_ref.apply(variables, z, c, cam, camera_angles_cond=cam.angles,
+                          train=False, noise_mode='const')
+    g_bf = Generator(bf)
+    img_bf = g_bf.apply(variables, z, c, cam, camera_angles_cond=cam.angles,
+                        train=False, noise_mode='const')
+    assert img_bf.dtype == img_ref.dtype
+    diff = np.abs(np.asarray(img_bf) - np.asarray(img_ref))
+    assert np.mean(diff) < 0.05, np.mean(diff)
+    assert np.max(diff) < 0.5, np.max(diff)

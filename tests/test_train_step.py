@@ -64,6 +64,9 @@ def test_single_device_steps(state_and_models):
 
 def test_multichip_mesh_step(state_and_models):
     state, G, D = state_and_models
+    # the mesh step donates its state arg — donate a copy, not the
+    # module-scoped fixture (later tests reuse it)
+    state = jax.tree.map(jnp.copy, state)
     devices = jax.devices()
     assert len(devices) == 8, "conftest must provide 8 virtual CPU devices"
     mesh = jax.sharding.Mesh(np.asarray(devices), ('data',))
@@ -87,3 +90,86 @@ def test_schedules_values():
     assert float(s_end.blur_sigma) == 0.0
     assert float(s_end.nerf_noise_std) == 0.0
     assert abs(float(s_end.gpc_spoof_p) - CFG.generator.camera_cond_spoof_p) < 1e-6
+
+
+def test_dmain_fake_bf16(state_and_models):
+    """training.dmain_fake_bf16: the bf16-view fake render matches the fp32
+    render loosely, Gmain is bit-identical (the flag touches only Dmain),
+    and the step stays finite."""
+    import dataclasses
+
+    from tdgp.training import losses
+
+    state, G, D = state_and_models
+    cfg_bf = dataclasses.replace(
+        CFG, training=dataclasses.replace(CFG.training, dmain_fake_bf16=True))
+    batch = make_batch(jax.random.PRNGKey(0), 4)
+    sched = compute_schedules(CFG, cur_nimg=0)
+
+    # --- forward parity of the bf16 generator view (same params)
+    from tdgp.models.epigraf import Generator
+    G_bf = Generator(dataclasses.replace(
+        CFG.generator, render_bf16=True, fp32_only=False, num_fp16_res=16))
+    g_vars = {'params': state.g_params, 'consts': state.g_consts,
+              'ema': state.g_ema_coll}
+    from tdgp.rendering.camera import sample_camera_params
+    from tdgp.config import asdict
+    n = 4
+    z = jax.random.normal(jax.random.PRNGKey(3), (n, CFG.generator.z_dim))
+    c = jax.nn.one_hot(jnp.arange(n) % CFG.generator.c_dim, CFG.generator.c_dim)
+    cam = sample_camera_params(jax.random.PRNGKey(4), asdict(CFG.camera), n)
+    rng = jax.random.PRNGKey(5)
+    out32, _, _, _ = losses.g_forward(G, g_vars, z, c, cam, cam.angles,
+                                      sched, rng, CFG)
+    out16, _, _, _ = losses.g_forward(G_bf, g_vars, z, c, cam, cam.angles,
+                                      sched, rng, CFG)
+    assert out16.img.dtype == out32.img.dtype  # render output stays fp32-ish
+    diff = np.abs(np.asarray(out32.img) - np.asarray(out16.img))
+    assert np.mean(diff) < 0.05, f"mean diff {np.mean(diff)}"
+    assert np.max(diff) < 0.5, f"max diff {np.max(diff)}"
+
+    # --- full step: finite, and Gmain stats identical to the fp32-flag step
+    step32, _ = make_jitted_train_steps(CFG, G, D)
+    step16, _ = make_jitted_train_steps(cfg_bf, G, D)
+    _, stats32 = step32(state, batch, jax.random.PRNGKey(1), sched)
+    state16, stats16 = step16(state, batch, jax.random.PRNGKey(1), sched)
+    for k, v in stats16.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    np.testing.assert_allclose(float(stats16['Loss/G/loss']),
+                               float(stats32['Loss/G/loss']), rtol=1e-5)
+    # D still learns against the bf16 fakes
+    assert np.isfinite(float(stats16['Loss/D/loss']))
+    assert not np.allclose(jax.tree.leaves(state16.d_params)[0],
+                           jax.tree.leaves(state.d_params)[0])
+
+
+def test_dmain_reuse_fakes(state_and_models):
+    """training.dmain_reuse_fakes: Dmain trains D against Gmain's rendered
+    fakes — no second G render. Covers both the plain and the microbatched
+    ('_collect' scan stacking) paths."""
+    import dataclasses
+
+    state, G, D = state_and_models
+    batch = make_batch(jax.random.PRNGKey(0), 4)
+    sched = compute_schedules(CFG, cur_nimg=0)
+
+    for bg in (None, 2):  # plain / 2 microbatches
+        cfg_r = dataclasses.replace(
+            CFG, training=dataclasses.replace(
+                CFG.training, dmain_reuse_fakes=True, batch_gpu=bg))
+        step, step_r1 = make_jitted_train_steps(cfg_r, G, D)
+        state1, stats = step(state, batch, jax.random.PRNGKey(1), sched)
+        for k, v in stats.items():
+            assert np.isfinite(float(v)), f"bg={bg}: {k} not finite"
+        assert not np.allclose(jax.tree.leaves(state1.d_params)[0],
+                               jax.tree.leaves(state.d_params)[0])
+        # Gmain untouched by the flag: same G loss as the reference step
+        step0, _ = make_jitted_train_steps(
+            dataclasses.replace(CFG, training=dataclasses.replace(
+                CFG.training, batch_gpu=bg)), G, D)
+        _, stats0 = step0(state, batch, jax.random.PRNGKey(1), sched)
+        np.testing.assert_allclose(float(stats['Loss/G/loss']),
+                                   float(stats0['Loss/G/loss']), rtol=1e-5)
+    # r1 variant compiles and runs too
+    state2, stats2 = step_r1(state1, batch, jax.random.PRNGKey(2), sched)
+    assert np.isfinite(float(stats2['Loss/D/r1_penalty']))
