@@ -100,7 +100,9 @@ def run_bench(batch_size: int, batch_gpu=None):
         cfg = dataclasses.replace(
             cfg, training=dataclasses.replace(cfg.training, dmain_reuse_fakes=True))
     state, G, D = create_train_state(cfg, seed=0, local_batch=batch_size)
-    step_plain, step_r1 = make_jitted_train_steps(cfg, G, D)
+    # donate: each state object is passed to exactly one step call below
+    # (always reassigned); frees a params+EMA+opt copy of HBM during the step
+    step_plain, step_r1 = make_jitted_train_steps(cfg, G, D, donate=True)
 
     res = cfg.dataset.resolution
     batch = make_batch(jax.random.PRNGKey(0), batch_size, res,

@@ -119,7 +119,11 @@ def training_loop(
         if verbose:
             print(f'Resumed from {resume_path} at {cur_nimg / 1e3:.1f} kimg')
 
-    step_plain, step_r1 = make_jitted_train_steps(cfg, G, D, mesh=mesh)
+    # donate: the loop reassigns state on every step and only ever reads the
+    # newest state afterwards (telemetry/snapshots), so donation is safe and
+    # frees a params+EMA+optimizer copy of HBM on the single-chip path
+    step_plain, step_r1 = make_jitted_train_steps(cfg, G, D, mesh=mesh,
+                                                  donate=True)
 
     # ---------------------------------------------------------------- loop
     collector = StatsCollector()

@@ -562,14 +562,22 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
 
 
 def make_jitted_train_steps(cfg: Config, G: Generator, D: Discriminator,
-                            mesh: Optional[jax.sharding.Mesh] = None):
+                            mesh: Optional[jax.sharding.Mesh] = None,
+                            donate: bool = False):
     """Returns (step_no_r1, step_r1): jitted, optionally shard_map'ed over
     mesh axis 'data'. Batch arrays are sharded along axis 0; state and
-    schedules are replicated."""
+    schedules are replicated.
+
+    donate: donate the state argument on the single-device path (the mesh
+    path always donates). Frees ~a params+EMA+optimizer copy of HBM during
+    the step — callers must not reuse a state object after passing it
+    (the training loop and bench reassign; tests that replay a state from
+    the same input must leave this off)."""
     if mesh is None:
         base = make_train_step(cfg, G, D, axis_name=None)
-        return (jax.jit(functools.partial(base, do_r1=False)),
-                jax.jit(functools.partial(base, do_r1=True)))
+        dn = (0,) if donate else ()
+        return (jax.jit(functools.partial(base, do_r1=False), donate_argnums=dn),
+                jax.jit(functools.partial(base, do_r1=True), donate_argnums=dn))
 
     from jax.sharding import PartitionSpec as P
     base = make_train_step(cfg, G, D, axis_name='data')
