@@ -9,7 +9,9 @@ def frechet_distance(mu_real: np.ndarray, sigma_real: np.ndarray,
                      mu_gen: np.ndarray, sigma_gen: np.ndarray) -> float:
     """ref frechet_inception_distance.py:36-39."""
     m = np.square(mu_gen - mu_real).sum()
-    s, _ = scipy.linalg.sqrtm(np.dot(sigma_gen, sigma_real), disp=False)
+    # disp= is deprecated (SciPy 1.18); like the reference we ignore the
+    # error estimate — near-singular products are expected for small N
+    s = scipy.linalg.sqrtm(np.dot(sigma_gen, sigma_real))
     return float(np.real(m + np.trace(sigma_gen + sigma_real - s * 2)))
 
 
