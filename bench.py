@@ -134,10 +134,11 @@ def run_bench(batch_size: int, batch_gpu=None):
 
     # rays/sec + MFU (BASELINE.md row 3 "render rays/sec — tracked"):
     # the step renders the patch twice (Gmain fake + Dmain fake), each ray
-    # integrated over coarse+fine samples
+    # integrated over coarse+fine samples — once only under dmain_reuse_fakes
     patch_res = cfg.generator.patch.resolution
     n_samples = cfg.generator.num_ray_steps * 2
-    rays_per_step = batch_size * patch_res * patch_res * 2
+    renders_per_step = 1 if cfg.training.dmain_reuse_fakes else 2
+    rays_per_step = batch_size * patch_res * patch_res * renders_per_step
     rays_per_sec = rays_per_step / t_step
     samples_per_sec = rays_per_sec * n_samples
 

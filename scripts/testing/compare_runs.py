@@ -19,8 +19,12 @@ def load_trend(run_dir: str, metric: str):
     with open(path) as f:
         for line in f:
             rec = json.loads(line)
-            # snapshot key: kimg as int (records carry 'snapshot' '000123')
+            # snapshot key: kimg as int (records carry 'snapshot' '000123');
+            # skip non-kimg records — calc_metrics appends snapshot='best'
+            # (or null) into the same jsonl
             snap = rec.get('snapshot')
+            if snap is None or not str(snap).isdigit():
+                continue
             val = rec['results'][metric] if 'results' in rec else rec[metric]
             trend[int(snap)] = float(val)
     return trend

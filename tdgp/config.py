@@ -355,7 +355,8 @@ class TrainingConfig:
     # just-updated G for Dmain (loss.py:259-262): here D trains against
     # pre-update-G fakes from the same z that G's step used. Default OFF;
     # a training-dynamics run must demonstrate FID-neutrality before this
-    # becomes an operating point.
+    # becomes an operating point. Takes precedence over dmain_fake_bf16
+    # (with no Dmain render there is nothing for the bf16 view to run).
     dmain_reuse_fakes: bool = False
     use_depth: bool = True
     blur_real_depth_sigma: float = 0.0
