@@ -358,6 +358,13 @@ class TrainingConfig:
     # becomes an operating point. Takes precedence over dmain_fake_bf16
     # (with no Dmain render there is nothing for the bf16 view to run).
     dmain_reuse_fakes: bool = False
+    # Run Gmain's DIFFERENTIATED render (and PL reg) through a render_bf16
+    # Generator view: bf16 plane storage + gather/MLP streams in the path
+    # gradients flow through. Params stay fp32 masters (runtime casts;
+    # grads accumulate fp32 through the cast transpose). Touches training
+    # numerics — a synth dynamics A/B must show FID-neutrality before this
+    # becomes an operating point (round-4 candidate, TODO.md #9).
+    gmain_render_bf16: bool = False
     use_depth: bool = True
     blur_real_depth_sigma: float = 0.0
     learn_camera_dist: bool = True

@@ -717,11 +717,14 @@ def triplane_sample_fused(planes_flat: jnp.ndarray, coords: jnp.ndarray,
 
 def _sample_fwd(planes_flat, coords, scale, interpret, pack):
     out, vals4 = _sample_fwd_impl(planes_flat, coords, scale, pack)
-    return out, (vals4, coords, planes_flat.shape)
+    # zero-size prototype carries the primal dtype (a dtype object is
+    # not a valid residual leaf)
+    proto = jnp.zeros((0,), planes_flat.dtype)
+    return out, (vals4, coords, planes_flat.shape, proto)
 
 
 def _sample_bwd(scale, interpret, pack, res, g):
-    vals4, coords, (n3, H, W, F) = res
+    vals4, coords, (n3, H, W, F), planes_proto = res
     n = n3 // 3
     P = coords.shape[1]
     gx, gy = _pixel_coords(coords, scale, H, W)
@@ -771,7 +774,10 @@ def _sample_bwd(scale, interpret, pack, res, g):
     g_planes = triplane_splat(gp, coords, scale, n3, H, W, interpret=interpret,
                               mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
                               table_bf16=table_bf16)
-    return g_planes.astype(jnp.float32), g_coords
+    # custom_vjp requires the plane cotangent to match the primal dtype:
+    # bf16 planes (render_bf16 views) get a bf16 cotangent (accumulation
+    # inside the splat stays fp32; only this boundary rounds)
+    return g_planes.astype(planes_proto.dtype), g_coords
 
 
 triplane_sample_fused.defvjp(_sample_fwd, _sample_bwd)
@@ -848,8 +854,11 @@ def _packed_fwd(table, coords, scale, shape, pack, interpret, residual_dtype):
 def _packed_bwd(scale, shape, pack, interpret, residual_dtype, res, g):
     vals4, coords = res
     n3, H, W, F = shape
-    g_planes, g_coords = _sample_bwd(scale, interpret, pack,
-                                     (vals4, coords, (n3, H, W, F)), g)
+    # fp32 planes cotangent: the table-build autodiff (downstream of the
+    # embed) re-casts to the table dtype itself
+    g_planes, g_coords = _sample_bwd(
+        scale, interpret, pack,
+        (vals4, coords, (n3, H, W, F), jnp.zeros((0,), jnp.float32)), g)
     return _embed_gplanes(g_planes, pack), g_coords
 
 
@@ -904,18 +913,18 @@ def _hoisted_fwd(planes_flat, table, coords, scale, shape, pack, interpret,
     out = jnp.mean(feats.reshape(n, 3, P, F), axis=1).astype(jnp.float32)
     if residual_dtype == 'bf16':
         vals4 = vals4.astype(jnp.bfloat16)
-    return out, (vals4, coords)
+    return out, (vals4, coords, jnp.zeros((0,), planes_flat.dtype))
 
 
 def _hoisted_bwd(scale, shape, pack, interpret, residual_dtype, res, g):
-    vals4, coords = res
+    vals4, coords, planes_proto = res
     n3, H, W, F = shape
-    g_planes, g_coords = _sample_bwd(scale, interpret, pack,
-                                     (vals4, coords, (n3, H, W, F)), g)
+    g_planes, g_coords = _sample_bwd(
+        scale, interpret, pack, (vals4, coords, (n3, H, W, F), planes_proto), g)
     rows, width, dtype = table_meta(shape, pack)
     # the table is a stop_gradient'd cache of build(planes): its cotangent
     # is dead by construction and XLA DCEs the zeros
-    return g_planes.astype(jnp.float32), jnp.zeros((rows, width), dtype), g_coords
+    return g_planes, jnp.zeros((rows, width), dtype), g_coords
 
 
 triplane_sample_hoisted.defvjp(_hoisted_fwd, _hoisted_bwd)

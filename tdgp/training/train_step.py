@@ -233,6 +233,15 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
         import dataclasses
         G_fake = Generator(dataclasses.replace(
             cfg.generator, render_bf16=True, fp32_only=False, num_fp16_res=16))
+    # Gmain's differentiated render at bf16 stream bandwidth
+    # (training.gmain_render_bf16): bf16 planes + gather/MLP streams in the
+    # path gradients flow through; decoder block precision unchanged
+    # (num_fp16_res), params stay fp32 masters. Round-4 candidate — needs a
+    # dynamics A/B before default-on.
+    G_main = G
+    if cfg.training.gmain_render_bf16 and not is_2d:
+        import dataclasses
+        G_main = Generator(dataclasses.replace(cfg.generator, render_bf16=True))
     reuse_fakes = cfg.training.dmain_reuse_fakes and not is_2d
 
     augment_pipe = None
@@ -285,7 +294,8 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
                 cam_post = md['cam']
             else:
                 out, patch_params, cam_post, _ = losses.g_forward(
-                    G, g_vars, md['z'], md['c'], md['cam'], md['cond'], sched, kf, cfg)
+                    G_main, g_vars, md['z'], md['c'], md['cam'], md['cond'],
+                    sched, kf, cfg)
             logits, _ = losses.d_forward(
                 D, {'params': state.d_params}, out.img, md['c'], sched, cfg,
                 patch_params=patch_params, camera_angles=cam_post.angles,
@@ -363,13 +373,13 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
                 rngs = {'noise': k_pl_fwd, 'render': k_pl_fwd, 'depth': k_pl_fwd,
                         'dropout': k_pl_fwd}
                 if is_2d:
-                    ws = G.apply(g_vars, method=lambda g: g.mapping(zp, cp, train=True))
+                    ws = G_main.apply(g_vars, method=lambda g: g.mapping(zp, cp, train=True))
                 else:
-                    ws = G.apply(g_vars, method=lambda g: g.mapping(
+                    ws = G_main.apply(g_vars, method=lambda g: g.mapping(
                         zp, cp, camera_angles=condp, train=True))
                 cam_post = camp
                 if cfg.training.learn_camera_dist and not is_2d:
-                    cam_post = G.apply(g_vars, method=lambda g:
+                    cam_post = G_main.apply(g_vars, method=lambda g:
                                        g.synthesis.apply_camera_adaptor(camp, zp, cp))
                 pp = None
                 if cfg.generator.patch.enabled:
@@ -379,12 +389,12 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
 
                 def synth(w):
                     if is_2d:
-                        img = G.apply(g_vars, method=lambda g: g.synthesis(
+                        img = G_main.apply(g_vars, method=lambda g: g.synthesis(
                             w, noise_mode='random'), rngs=rngs)
                         if pp is not None:
                             img = extract_patches(img, pp, cfg.generator.patch.resolution)
                         return img
-                    out = G.apply(g_vars, method=lambda g: g.synthesis(
+                    out = G_main.apply(g_vars, method=lambda g: g.synthesis(
                         w, cam_post, pp, train=True,
                         nerf_noise_std=sched.nerf_noise_std,
                         depth_progress=sched.depth_progress), rngs=rngs)

@@ -397,3 +397,37 @@ def test_hoisted_sample_direct_vjp(setup, pack):
     num = np.linalg.norm(np.asarray(gc_f) - np.asarray(gc_r))
     den = np.linalg.norm(np.asarray(gc_r))
     assert num / den < (0.05 if bf16 else 1e-4), num / den
+
+
+def test_bf16_planes_primal_grads(setup):
+    """render_bf16 generator views pass bf16 PLANES as the primal: the
+    custom VJPs must return a bf16 plane cotangent (JAX enforces
+    primal/cotangent dtype match) that still tracks the fp32 autodiff
+    gradient loosely (splat accumulation stays fp32; only the boundary
+    rounds). Guards the Gmain-bf16 flag (training.gmain_render_bf16)."""
+    from tdgp.ops.splat import build_sample_table, triplane_sample_hoisted
+    planes, coords, _, scale = setup
+    planes16 = planes.astype(jnp.bfloat16)
+    shape = tuple(planes.shape)
+
+    def loss_fused(pl_, co_):
+        return jnp.sum(triplane_sample_fused(pl_, co_, scale, True, 'quad') ** 2)
+
+    def loss_hoisted(pl_, co_):
+        table_ = jax.lax.stop_gradient(build_sample_table(pl_, 'quad_bf16'))
+        return jnp.sum(triplane_sample_hoisted(
+            pl_, table_, co_, scale, shape, 'quad_bf16', True, 'bf16') ** 2)
+
+    def loss_ref(pl_, co_):
+        return jnp.sum(_tri_plane_sample_jnp(pl_.astype(jnp.float32), co_, scale) ** 2)
+
+    gp_r, gc_r = jax.grad(loss_ref, argnums=(0, 1))(planes, coords)
+    for name, fn in (('fused', loss_fused), ('hoisted', loss_hoisted)):
+        gp, gc = jax.jit(jax.grad(fn, argnums=(0, 1)))(planes16, coords)
+        assert gp.dtype == jnp.bfloat16, (name, gp.dtype)
+        assert gc.dtype == jnp.float32, (name, gc.dtype)
+        gp32 = np.asarray(gp.astype(jnp.float32))
+        np.testing.assert_allclose(gp32, np.asarray(gp_r), rtol=0.15, atol=0.15)
+        num = np.linalg.norm(np.asarray(gc) - np.asarray(gc_r))
+        den = np.linalg.norm(np.asarray(gc_r))
+        assert num / den < 0.08, (name, num / den)

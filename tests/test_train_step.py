@@ -173,3 +173,30 @@ def test_dmain_reuse_fakes(state_and_models):
     # r1 variant compiles and runs too
     state2, stats2 = step_r1(state1, batch, jax.random.PRNGKey(2), sched)
     assert np.isfinite(float(stats2['Loss/D/r1_penalty']))
+
+
+def test_gmain_render_bf16(state_and_models):
+    """training.gmain_render_bf16: the DIFFERENTIATED Gmain render runs
+    through a render_bf16 view — the step stays finite, G still learns, and
+    the G loss tracks the fp32 step loosely (bf16 streams shift the forward
+    by rounding only)."""
+    import dataclasses
+
+    state, G, D = state_and_models
+    cfg_bf = dataclasses.replace(
+        CFG, training=dataclasses.replace(CFG.training, gmain_render_bf16=True))
+    batch = make_batch(jax.random.PRNGKey(0), 4)
+    sched = compute_schedules(CFG, cur_nimg=0)
+
+    step32, _ = make_jitted_train_steps(CFG, G, D)
+    step16, _ = make_jitted_train_steps(cfg_bf, G, D)
+    _, stats32 = step32(state, batch, jax.random.PRNGKey(1), sched)
+    state16, stats16 = step16(state, batch, jax.random.PRNGKey(1), sched)
+    for k, v in stats16.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    # G params moved (gradients flowed through the bf16 streams)
+    assert not np.allclose(jax.tree.leaves(state16.g_params)[0],
+                           jax.tree.leaves(state.g_params)[0])
+    # forward shift is rounding-scale, not structural
+    assert abs(float(stats16['Loss/G/loss']) - float(stats32['Loss/G/loss'])) \
+        < 0.25 + 0.05 * abs(float(stats32['Loss/G/loss']))
