@@ -673,7 +673,7 @@ def _sample_fwd_impl(planes_flat: jnp.ndarray, coords: jnp.ndarray, scale: float
     n = n3 // 3
     P = coords.shape[1]
 
-    if pack in ('quad', 'pair'):
+    if pack in ('quad', 'pair', 'quad_bf16', 'pair_bf16'):
         table = build_sample_table(planes_flat, pack)
         feats, vals4 = _gather_packed(table, coords, scale, (n3, H, W, F), pack)
     elif pack == 'none':
