@@ -1,0 +1,36 @@
+#!/bin/bash
+# Round-4 A/B dynamics battery: FID-proxy neutrality evidence for the two
+# opt-in perf levers (training.dmain_reuse_fakes, training.gmain_render_bf16)
+# before either can become a default operating point (DESIGN.md ledger
+# protocol; TODO.md #9 / reuse-fakes deferral).
+#
+# Three synth64 runs from the same seed, then pairwise trend comparison via
+# scripts/testing/compare_runs.py. ~KIMG kimg each; tune to the chip window.
+cd /root/repo || exit 1
+LOG=experiments/r4_ab.log
+KIMG=${KIMG:-40}
+ROOT=experiments
+
+stage() {
+  name=$1; shift
+  echo "=== STAGE $name $(date -u +%F' '%T) ===" >> "$LOG"
+  timeout 7200 "$@" >> "$LOG" 2>&1
+  echo "--- rc=$? $(date -u +%T)" >> "$LOG"
+}
+
+stage ab_control  python scripts/train.py --preset synth64 --desc r4-ab-control \
+  --max-kimg "$KIMG" --run-root "$ROOT"
+stage ab_reuse    python scripts/train.py --preset synth64 --desc r4-ab-reuse \
+  --max-kimg "$KIMG" --run-root "$ROOT" training.dmain_reuse_fakes=true
+stage ab_gbf16    python scripts/train.py --preset synth64 --desc r4-ab-gbf16 \
+  --max-kimg "$KIMG" --run-root "$ROOT" training.gmain_render_bf16=true
+
+CONTROL=$(ls -d "$ROOT"/*r4-ab-control* 2>/dev/null | tail -1)
+for v in reuse gbf16; do
+  RUN=$(ls -d "$ROOT"/*r4-ab-$v* 2>/dev/null | tail -1)
+  if [ -n "$CONTROL" ] && [ -n "$RUN" ]; then
+    echo "=== COMPARE control vs $v ===" >> "$LOG"
+    python scripts/testing/compare_runs.py "$CONTROL" "$RUN" >> "$LOG" 2>&1
+  fi
+done
+echo "=== AB BATTERY DONE $(date -u +%F' '%T) ===" >> "$LOG"
