@@ -1,10 +1,13 @@
 #!/bin/bash
-# Round-4 A/B dynamics battery: FID-proxy neutrality evidence for the two
-# opt-in perf levers (training.dmain_reuse_fakes, training.gmain_render_bf16)
-# before either can become a default operating point (DESIGN.md ledger
-# protocol; TODO.md #9 / reuse-fakes deferral).
+# Round-4 A/B dynamics battery: FID-proxy neutrality evidence for
+# training.dmain_reuse_fakes before it can become a default operating point
+# (DESIGN.md ledger protocol; reuse-fakes deferral).
 #
-# Three synth64 runs from the same seed, then pairwise trend comparison via
+# gmain_render_bf16 was struck from this battery: battery part 5 measured
+# it perf-NEUTRAL (+0.3% over dmain_bf16 alone — the step is row-bound),
+# so its numerics risk buys nothing and it will never ship as default.
+#
+# Two synth64 runs from the same seed, then trend comparison via
 # scripts/testing/compare_runs.py. ~KIMG kimg each; tune to the chip window.
 cd /root/repo || exit 1
 LOG=experiments/r4_ab.log
@@ -22,11 +25,9 @@ stage ab_control  python scripts/train.py --preset synth64 --desc r4-ab-control 
   --max-kimg "$KIMG" --run-root "$ROOT"
 stage ab_reuse    python scripts/train.py --preset synth64 --desc r4-ab-reuse \
   --max-kimg "$KIMG" --run-root "$ROOT" training.dmain_reuse_fakes=true
-stage ab_gbf16    python scripts/train.py --preset synth64 --desc r4-ab-gbf16 \
-  --max-kimg "$KIMG" --run-root "$ROOT" training.gmain_render_bf16=true
 
 CONTROL=$(ls -d "$ROOT"/*r4-ab-control* 2>/dev/null | tail -1)
-for v in reuse gbf16; do
+for v in reuse; do
   RUN=$(ls -d "$ROOT"/*r4-ab-$v* 2>/dev/null | tail -1)
   if [ -n "$CONTROL" ] && [ -n "$RUN" ]; then
     echo "=== COMPARE control vs $v ===" >> "$LOG"
