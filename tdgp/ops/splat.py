@@ -159,13 +159,20 @@ def _window_meta_wide(y0i: jnp.ndarray, ws: Tuple[jnp.ndarray, ...], H: int,
 
 # ------------------------------------------------------------------- kernel
 
-def _splat_kernel(chunk_ref, key_ref, first_ref, live_ref, cfirst_ref,
-                  last_ref, ent_ref, zero_ref, out_ref,
+def _splat_kernel(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
                   oh_top_ref, oh_bot_ref, key_sc_ref, acc_ref,
                   *, F: int, W: int, mxu_bf16: bool, entry_bf16: bool,
                   table_bf16: bool):
     j = pl.program_id(0)
     w_id = key_ref[j]
+    # meta packs (item_chunk << 4 | first | live<<1 | cfirst<<2 | last<<3):
+    # 6 SMEM-prefetched s32 arrays -> 2, keeping the worklist under the 1 MB
+    # SMEM budget at batch >= 24 (6 arrays OOMed smem at b24: 1.29M > 1M)
+    m = meta_ref[j]
+    is_first = (m & 1) == 1
+    is_live = (m & 2) != 0
+    is_cfirst = (m & 4) != 0
+    is_last = (m & 8) != 0
     acc_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
 
     # table_bf16: accumulate in an fp32 VMEM scratch across a window's run
@@ -176,7 +183,7 @@ def _splat_kernel(chunk_ref, key_ref, first_ref, live_ref, cfirst_ref,
     # write lands before the block index moves on.
     tgt = acc_ref if table_bf16 else out_ref
 
-    @pl.when(first_ref[j] == 1)
+    @pl.when(is_first)
     def _():
         tgt[:] = jnp.zeros_like(tgt)
 
@@ -186,7 +193,7 @@ def _splat_kernel(chunk_ref, key_ref, first_ref, live_ref, cfirst_ref,
     # the kernel's cost center. The window-independent part (bilinear
     # weights at columns x0/x0+1) is built once per chunk; each item then
     # applies only its membership row-mask (one multiply).
-    @pl.when((cfirst_ref[j] == 1) & (live_ref[j] == 1))
+    @pl.when(is_cfirst & is_live)
     def _():
         ent = ent_ref[:]                      # [K, F+6] f32 or [K, F+8] bf16
         if entry_bf16:
@@ -221,7 +228,7 @@ def _splat_kernel(chunk_ref, key_ref, first_ref, live_ref, cfirst_ref,
     # dead items (worklist padding / scratch-window runs) skip the MXU work
     # entirely — at one render pass (3.1M entries) they were ~2/3 of the
     # static grid; skipping them cuts the wasted matmuls
-    @pl.when(live_ref[j] == 1)
+    @pl.when(is_live)
     def _():
         vals = ent_ref[:, :F].astype(acc_dtype)         # [K, F]
         match = (key_sc_ref[:].astype(jnp.int32) == w_id).astype(acc_dtype)
@@ -248,13 +255,12 @@ def _splat_kernel(chunk_ref, key_ref, first_ref, live_ref, cfirst_ref,
             out_ref[0, :, W:] += bot
 
     if table_bf16:
-        @pl.when((last_ref[j] == 1) & (live_ref[j] == 1))
+        @pl.when(is_last & is_live)
         def _():
             out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _splat_kernel_wide(chunk_ref, key_ref, first_ref, live_ref, cfirst_ref,
-                       last_ref, ent_ref, zero_ref, out_ref,
+def _splat_kernel_wide(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
                        oh_ref, key_sc_ref, acc_ref,
                        *, F: int, W: int, wrows: int, mxu_bf16: bool,
                        entry_bf16: bool, table_bf16: bool):
@@ -269,14 +275,19 @@ def _splat_kernel_wide(chunk_ref, key_ref, first_ref, live_ref, cfirst_ref,
     """
     j = pl.program_id(0)
     w_id = key_ref[j]
+    m = meta_ref[j]                   # see _splat_kernel: chunk<<4 | flags
+    is_first = (m & 1) == 1
+    is_live = (m & 2) != 0
+    is_cfirst = (m & 4) != 0
+    is_last = (m & 8) != 0
     acc_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
     tgt = acc_ref if table_bf16 else out_ref
 
-    @pl.when(first_ref[j] == 1)
+    @pl.when(is_first)
     def _():
         tgt[:] = jnp.zeros_like(tgt)
 
-    @pl.when((cfirst_ref[j] == 1) & (live_ref[j] == 1))
+    @pl.when(is_cfirst & is_live)
     def _():
         ent = ent_ref[:]                  # [K, F+7] f32 or [K, F+9] bf16
         f32 = jnp.float32
@@ -309,7 +320,7 @@ def _splat_kernel_wide(chunk_ref, key_ref, first_ref, live_ref, cfirst_ref,
         oh_ref[:] = (a00 * c0 + a01 * c1 + a10 * c2 + a11 * c3).astype(acc_dtype)
         key_sc_ref[:] = ekey.astype(jnp.float32)
 
-    @pl.when(live_ref[j] == 1)
+    @pl.when(is_live)
     def _():
         vals = ent_ref[:, :F].astype(acc_dtype)     # [K, F]
         match = (key_sc_ref[:].astype(jnp.int32) == w_id).astype(acc_dtype)
@@ -326,7 +337,7 @@ def _splat_kernel_wide(chunk_ref, key_ref, first_ref, live_ref, cfirst_ref,
             out_ref[0] += blk
 
     if table_bf16:
-        @pl.when((last_ref[j] == 1) & (live_ref[j] == 1))
+        @pl.when(is_last & is_live)
         def _():
             out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
@@ -373,6 +384,11 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
     cfirst = (item_chunk != prev_chunk).astype(jnp.int32)
     next_key = jnp.concatenate([item_key[1:], item_key[-1:] + 1])
     last = (item_key != next_key).astype(jnp.int32)
+    # pack (chunk, 4 flags) into ONE s32 per item: the scalar-prefetch
+    # arrays live in SMEM (1 MB); at batch 24 six s32[L] arrays hit 1.29 MB
+    # and the compile fails. Two arrays (meta, key) keep b24/b32 in budget.
+    meta = (item_chunk * 16 + first + live * 2 + cfirst * 4 + last * 8)
+    meta = meta.astype(jnp.int32)
 
     lanes = packed_sorted.shape[1]
     acc_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
@@ -398,15 +414,15 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
             pltpu.VMEM((F, wc), jnp.float32),   # fp32 run accumulator
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=2,
         grid=(L,),
         in_specs=[
-            pl.BlockSpec((k, lanes), lambda j, ci, ki, fi, li, cfi, la: (ci[j], 0),
+            pl.BlockSpec((k, lanes), lambda j, mi, ki: (mi[j] // 16, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, F, wc),
-                               lambda j, ci, ki, fi, li, cfi, la: (ki[j], 0, 0),
+                               lambda j, mi, ki: (ki[j], 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
@@ -414,9 +430,9 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_windows + 1, F, wc), out_dtype),
-        input_output_aliases={7: 0},
+        input_output_aliases={3: 0},
         interpret=interpret,
-    )(item_chunk, item_key, first, live, cfirst, last, packed_sorted, zero_table)
+    )(meta, item_key, packed_sorted, zero_table)
 
 
 def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
