@@ -21,10 +21,16 @@ stage() {
   echo "--- rc=$? $(date -u +%T)" >> "$LOG"
 }
 
+if [ ! -d data/synth64 ]; then
+  python data_scripts/make_synthetic_dataset.py --out data/synth64 \
+    --n 4000 --res 64 --classes 4 >> "$LOG" 2>&1
+fi
+
 stage ab_control  python scripts/train.py --preset synth64 --desc r4-ab-control \
-  --max-kimg "$KIMG" --run-root "$ROOT"
+  --max-kimg "$KIMG" --run-root "$ROOT" dataset.path=data/synth64 dataset.mirror=true
 stage ab_reuse    python scripts/train.py --preset synth64 --desc r4-ab-reuse \
-  --max-kimg "$KIMG" --run-root "$ROOT" training.dmain_reuse_fakes=true
+  --max-kimg "$KIMG" --run-root "$ROOT" dataset.path=data/synth64 dataset.mirror=true \
+  training.dmain_reuse_fakes=true
 
 CONTROL=$(ls -d "$ROOT"/*r4-ab-control* 2>/dev/null | tail -1)
 for v in reuse; do
