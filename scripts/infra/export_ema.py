@@ -43,7 +43,10 @@ def main():
     ap.add_argument('--out', default=None)
     args = ap.parse_args()
 
-    os.environ.setdefault('JAX_PLATFORMS', 'cpu')  # no device needed
+    # hard-set, not setdefault: deployment rigs export JAX_PLATFORMS for
+    # the accelerator plugin; the export needs no device and must not
+    # grab (or contend for) a chip a training job may be using
+    os.environ['JAX_PLATFORMS'] = 'cpu'
     from tdgp.utils.platform import honor_jax_platforms_env
     honor_jax_platforms_env()
     from tdgp import checkpoint as ckpt

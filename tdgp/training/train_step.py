@@ -196,27 +196,40 @@ def _microbatched_grad(loss_fn, params, data, n_micro: int):
 
 def _sample_gen_inputs(key, batch_size: int, cfg: Config, sched: Schedules,
                        gen_c: Optional[jnp.ndarray] = None,
-                       gen_angles: Optional[jnp.ndarray] = None):
+                       gen_angles: Optional[jnp.ndarray] = None,
+                       gen_z: Optional[jnp.ndarray] = None,
+                       gen_cam: Optional[TensorGroup] = None):
     """z, labels, prior cameras, GPC-spoofed conditioning angles
     (ref training_loop.py:301-316). gen_c / gen_angles are dataset-sampled
-    conditioning (labels always; angles when camera dist == 'custom')."""
+    conditioning (labels always; angles when camera dist == 'custom');
+    gen_z / gen_cam are full batch-side overrides (the controlled-inputs
+    test mode — tests/test_train_step.py multi-device equivalence)."""
     k_z, k_c, k_cam, k_spoof = jax.random.split(key, 4)
-    z = jax.random.normal(k_z, (batch_size, cfg.generator.z_dim))
+    z = gen_z if gen_z is not None else jax.random.normal(
+        k_z, (batch_size, cfg.generator.z_dim))
     c = gen_c if gen_c is not None else sample_random_c(k_c, batch_size, cfg.generator.c_dim)
-    cam = sample_camera_params(k_cam, asdict(cfg.camera), batch_size,
-                               origin_angles=gen_angles)
+    cam = gen_cam if gen_cam is not None else sample_camera_params(
+        k_cam, asdict(cfg.camera), batch_size, origin_angles=gen_angles)
     spoof = jax.random.uniform(k_spoof, (batch_size,)) < sched.gpc_spoof_p
     cond_angles = jnp.where(spoof[:, None], jnp.roll(cam.angles, 1, axis=0), cam.angles)
     return z, c, cam, cond_angles
 
 
 def make_train_step(cfg: Config, G: Generator, D: Discriminator,
-                    axis_name: Optional[str] = None):
+                    axis_name: Optional[str] = None,
+                    controlled: bool = False):
     """Returns step(state, batch, rng, sched, do_r1) -> (state, stats).
 
     When axis_name is set, the function is meant to run inside
     shard_map(..., axis_names={axis_name}): grads/stats are pmean'd.
-    """
+
+    controlled=True is the TEST-ONLY deterministic-inputs mode (SURVEY §4(d)
+    pmean-grad equivalence): the per-shard RNG fold is skipped, per-sample
+    fold indices come from batch['sample_idx'] (global, sharded along with
+    the data), gen inputs may be passed via batch ('gen_z_g/d',
+    'gen_cam_g/d'), real patch params via 'real_pp_scales/offsets', and the
+    pmean'd raw gradients are returned in stats['_debug'] so a sharded step
+    can be asserted numerically equal to a single-device full-batch step."""
     g_tx, d_tx = make_optimizers(cfg)
     do_kd = cfg.loss.kd.weight > 0
     adv = cfg.loss.adv_loss_type
@@ -258,9 +271,12 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array,
              sched: Schedules, do_r1: bool):
-        if axis_name:
+        if axis_name and not controlled:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         n = batch['img'].shape[0]
+        sample_idx = batch.get('sample_idx')
+        if sample_idx is None:
+            sample_idx = jnp.arange(n, dtype=jnp.int32)
         (k_gen_g, k_gen_d, k_gfwd, k_dfwd, k_reg, k_patch_real,
          k_aug, k_pl) = jax.random.split(rng, 8)
         stats: Dict[str, jnp.ndarray] = {}
@@ -282,7 +298,8 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
                 f'{cfg.discriminator.mbstd_group_size}'
         zg, cg, camg, condg = _sample_gen_inputs(
             k_gen_g, n, cfg, sched, batch.get('gen_c_g'),
-            batch.get('gen_camera_angles_g'))
+            batch.get('gen_camera_angles_g'), batch.get('gen_z_g'),
+            batch.get('gen_cam_g'))
 
         def g_adv_loss(g_params, md):
             g_vars = {'params': g_params, 'consts': state.g_consts, 'ema': state.g_ema_coll}
@@ -315,7 +332,7 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
             return loss_gmain, aux
 
         g_md = {'z': zg, 'c': cg, 'cam': camg, 'cond': condg,
-                'idx': jnp.arange(n, dtype=jnp.int32)}
+                'idx': sample_idx}
         (g_loss, g_aux), g_grads = _microbatched_grad(
             g_adv_loss, state.g_params, g_md, n_micro)
         reused = g_aux.pop('_collect', None) if reuse_fakes else None
@@ -423,7 +440,8 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
         # ------------------------------------------------------ Dmain phase
         zd, cd, camd, condd = _sample_gen_inputs(
             k_gen_d, n, cfg, sched, batch.get('gen_c_d'),
-            batch.get('gen_camera_angles_d'))
+            batch.get('gen_camera_angles_d'), batch.get('gen_z_d'),
+            batch.get('gen_cam_d'))
         k_dg, k_dreal, k_r1 = jax.random.split(k_dfwd, 3)
         # fakes come from the UPDATED G (sequential phases, like the
         # reference which steps G before D in its phase list). Generation
@@ -446,9 +464,13 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
 
         real4 = losses.prepare_real_img(batch['img'], batch['depth'], sched, cfg)
         if cfg.generator.patch.enabled:
-            real_pp = sample_patch_params(k_patch_real, n, cfg.generator.patch,
-                                          min_scale=sched.patch_min_scale,
-                                          beta=sched.patch_beta)
+            if 'real_pp_scales' in batch:  # controlled-inputs test mode
+                real_pp = {'scales': batch['real_pp_scales'],
+                           'offsets': batch['real_pp_offsets']}
+            else:
+                real_pp = sample_patch_params(k_patch_real, n, cfg.generator.patch,
+                                              min_scale=sched.patch_min_scale,
+                                              beta=sched.patch_beta)
             real_patches = extract_patches(real4, real_pp, cfg.generator.patch.resolution)
         else:
             real_pp, real_patches = None, real4
@@ -505,7 +527,7 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
         d_md = {'zd': zd, 'cd': cd, 'cam': camd, 'cond': condd,
                 'real': real_patches, 'c': batch['c'],
                 'angles': batch['camera_angles'], 'embs': batch['embs'],
-                'idx': jnp.arange(n, dtype=jnp.int32)}
+                'idx': sample_idx}
         if real_pp is not None:
             d_md['rpp'] = real_pp
         if reused is not None:
@@ -544,7 +566,7 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
 
             r1_md = {'real': real_patches, 'c': batch['c'],
                      'angles': batch['camera_angles'],
-                     'idx': jnp.arange(n, dtype=jnp.int32)}
+                     'idx': sample_idx}
             if real_pp is not None:
                 r1_md['rpp'] = real_pp
             (r1_loss, r1_pen), r1_grads = _microbatched_grad(
@@ -561,6 +583,12 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
                                   g_params, state.ema_params)
 
         stats = {k: pmean(v) for k, v in stats.items()}
+        if controlled:
+            # raw (already pmean'd) gradients for the multi-device
+            # numerical-equivalence test — never set in production
+            stats['_debug'] = {'g_grads': g_grads, 'd_grads': d_grads}
+            if do_r1 and cfg.loss.r1_gamma > 0:
+                stats['_debug']['r1_grads'] = r1_grads
         new_state = state.replace(
             step=state.step + 1, g_params=g_params, g_ema_coll=new_ema_coll,
             d_params=d_params, ema_params=ema_params,
@@ -573,7 +601,7 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
 
 def make_jitted_train_steps(cfg: Config, G: Generator, D: Discriminator,
                             mesh: Optional[jax.sharding.Mesh] = None,
-                            donate: bool = False):
+                            donate: bool = False, controlled: bool = False):
     """Returns (step_no_r1, step_r1): jitted, optionally shard_map'ed over
     mesh axis 'data'. Batch arrays are sharded along axis 0; state and
     schedules are replicated.
@@ -584,13 +612,13 @@ def make_jitted_train_steps(cfg: Config, G: Generator, D: Discriminator,
     (the training loop and bench reassign; tests that replay a state from
     the same input must leave this off)."""
     if mesh is None:
-        base = make_train_step(cfg, G, D, axis_name=None)
+        base = make_train_step(cfg, G, D, axis_name=None, controlled=controlled)
         dn = (0,) if donate else ()
         return (jax.jit(functools.partial(base, do_r1=False), donate_argnums=dn),
                 jax.jit(functools.partial(base, do_r1=True), donate_argnums=dn))
 
     from jax.sharding import PartitionSpec as P
-    base = make_train_step(cfg, G, D, axis_name='data')
+    base = make_train_step(cfg, G, D, axis_name='data', controlled=controlled)
 
     def wrap(do_r1):
         def fn(state, batch, rng, sched):

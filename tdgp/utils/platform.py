@@ -20,3 +20,31 @@ def honor_jax_platforms_env() -> None:
     if val:
         import jax
         jax.config.update('jax_platforms', val)
+
+
+def machine_cache_key() -> str:
+    """Host-microarch fingerprint for persistent-compilation-cache dirs.
+
+    XLA's persistent cache key covers the HLO + compile options but NOT the
+    compile machine's CPU features; a cache dir carried to a different VM
+    serves AOT executables built for foreign microarch (observed:
+    cpu_aot_loader "prefer-no-scatter is not supported on the host machine"
+    warnings, ~2e-5 numeric skew vs a fresh compile — enough to fail grad
+    bit-equivalence — and a documented SIGILL risk). Keying the dir by CPU
+    flags + jax version quarantines each machine's blobs."""
+    import hashlib
+
+    import jax
+    try:
+        with open('/proc/cpuinfo') as f:
+            flags_line = next((l for l in f if l.startswith('flags')),
+                              'noflags')
+    except OSError:
+        flags_line = 'noflags'
+    raw = f'{jax.__version__}|{flags_line}'
+    return hashlib.md5(raw.encode()).hexdigest()[:12]
+
+
+def compilation_cache_dir(root: str) -> str:
+    """Machine-keyed subdir of ``root`` for jax_compilation_cache_dir."""
+    return os.path.join(root, machine_cache_key())
