@@ -290,6 +290,8 @@ class BatchLoader:
                  prefetch: int = 3, num_threads: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.rank = rank
+        self.num_replicas = num_replicas
         self._sampler = iter(InfiniteSampler(len(dataset), rank=rank,
                                              num_replicas=num_replicas, seed=seed))
         self._queue: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
@@ -309,6 +311,10 @@ class BatchLoader:
             indices = self._next_indices()
             items = [self.dataset[i] for i in indices]
             batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+            # raw dataset indices ride along for observability (the
+            # multi-process disjoint-stream test); the training loop pops
+            # them before the jitted step
+            batch['_indices'] = np.asarray(indices, dtype=np.int64)
             while not self._stop.is_set():
                 try:
                     self._queue.put(batch, timeout=0.5)
@@ -328,10 +334,13 @@ class BatchLoader:
 
 def normalize_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """uint8/uint16 -> float32 training ranges (ref training_loop.py:296-300)."""
-    return {
+    out = {
         'img': batch['image'].astype(np.float32) / 127.5 - 1.0,
         'depth': batch['depth'].astype(np.float32) / 65536 * 2.0 - 1.0,
         'c': batch['label'].astype(np.float32),
         'camera_angles': batch['camera_angles'].astype(np.float32),
         'embs': batch['embedding'].astype(np.float32),
     }
+    if '_indices' in batch:
+        out['_indices'] = batch['_indices']
+    return out

@@ -73,6 +73,36 @@ def with_gen_conditioning(iterator, dataset, cfg: Config, seed: int = 0):
         yield out
 
 
+def make_data_iterator(cfg: Config, batch_size: int, loader_threads: int = 2):
+    """Build this PROCESS's training data iterator.
+
+    In a multi-process run (jax.distributed) each process loads a DISJOINT
+    rank-strided slice of the index stream (InfiniteSampler rank striding,
+    ref misc.py:112-143 + training_loop.py:99-100) and yields its local
+    batch_size // process_count share; gen-conditioning sampling is
+    seed-offset per process so conditioning draws are disjoint too.
+    Returns (iterator, loader-or-None)."""
+    t = cfg.training
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    assert batch_size % nproc == 0, (batch_size, nproc)
+    local_bs = batch_size // nproc
+    if cfg.dataset.path:
+        dataset = ImageFolderDataset(
+            cfg.dataset.path, resolution=cfg.dataset.resolution,
+            use_labels=cfg.dataset.c_dim > 0, use_depth=t.use_depth,
+            use_embeddings=cfg.dataset.use_embeddings and cfg.loss.kd.weight > 0,
+            mirror=cfg.dataset.mirror, max_size=cfg.dataset.max_size,
+            embeddings_path=cfg.dataset.embeddings_path,
+            embeddings_desc_path=cfg.dataset.embeddings_desc_path)
+        loader = BatchLoader(dataset, local_bs, rank=pid, num_replicas=nproc,
+                             seed=t.seed, num_threads=loader_threads)
+        return with_gen_conditioning(
+            (normalize_batch(b) for b in loader), dataset, cfg,
+            seed=t.seed + pid), loader
+    return synthetic_batch_iterator(cfg, local_bs, seed=t.seed + pid), None
+
+
 def training_loop(
     cfg: Config,
     run_dir: str,
@@ -93,19 +123,19 @@ def training_loop(
 
     # ---------------------------------------------------------------- data
     if batch_iterator is None:
-        if cfg.dataset.path:
-            dataset = ImageFolderDataset(
-                cfg.dataset.path, resolution=cfg.dataset.resolution,
-                use_labels=cfg.dataset.c_dim > 0, use_depth=t.use_depth,
-                use_embeddings=cfg.dataset.use_embeddings and cfg.loss.kd.weight > 0,
-                mirror=cfg.dataset.mirror, max_size=cfg.dataset.max_size,
-                embeddings_path=cfg.dataset.embeddings_path,
-                embeddings_desc_path=cfg.dataset.embeddings_desc_path)
-            loader = BatchLoader(dataset, batch_size)
-            batch_iterator = with_gen_conditioning(
-                (normalize_batch(b) for b in loader), dataset, cfg, seed=t.seed)
-        else:
-            batch_iterator = synthetic_batch_iterator(cfg, batch_size)
+        batch_iterator, _loader = make_data_iterator(cfg, batch_size)
+    nproc = jax.process_count()
+    to_global = None
+    if mesh is not None and nproc > 1:
+        # multi-process: each process contributes its local share; assemble
+        # the global sharded batch (the TPU analogue of per-rank DataLoaders
+        # feeding one logical step, ref training_loop.py:99-100,329)
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as P
+
+        def to_global(b):  # noqa: E731
+            return multihost_utils.host_local_array_to_global_array(
+                b, mesh, P('data'))
 
     # ---------------------------------------------------------------- state
     state, G, D = create_train_state(cfg, seed=t.seed,
@@ -163,6 +193,9 @@ def training_loop(
     while True:
         with timer.phase('data'):
             batch = next(batch_iterator)
+            batch.pop('_indices', None)  # loader observability, not step input
+            if to_global is not None:
+                batch = to_global(batch)
         sched = compute_schedules(cfg, cur_nimg, ada_p=ada_p)
         do_r1 = (cfg.loss.r1_gamma > 0) and (batch_idx % cfg.loss.r1_interval == 0)
         step_fn = step_r1 if do_r1 else step_plain

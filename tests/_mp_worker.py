@@ -91,6 +91,63 @@ def main():
         assert np.array_equal(np.sort(warm.get_all()[:, 0]), items)
         print(f'MP_CACHE_OK process={pid}', flush=True)
 
+    # ---- rank-sharded data loading through the LOOP's own constructor
+    # (make_data_iterator): per-process index streams must be the sampler's
+    # rank-strided shares — disjoint across processes on a fresh epoch
+    # (ref misc.py:112-143 + training_loop.py:99-100)
+    data_dir = os.environ.get('MP_DATA_DIR')
+    if data_dir:
+        import dataclasses
+
+        from tdgp.config import tiny_test_config
+        from tdgp.data.dataset import InfiniteSampler
+        from tdgp.training.loop import make_data_iterator
+
+        cfg = tiny_test_config()
+        cfg = dataclasses.replace(
+            cfg,
+            dataset=dataclasses.replace(
+                cfg.dataset, path=data_dir, resolution=16, c_dim=3,
+                mirror=False, use_embeddings=False),
+            loss=dataclasses.replace(cfg.loss, kd=dataclasses.replace(
+                cfg.loss.kd, weight=0.0)))
+        # single prefetch thread -> batches arrive in sampler order (the
+        # 2-thread default can reorder chunks, which only permutes batches
+        # but would make the exact-prefix check racy)
+        it, loader = make_data_iterator(cfg, batch_size=8, loader_threads=1)
+        assert loader.rank == pid and loader.num_replicas == nproc
+        n_batches = 6
+        got = []
+        for _ in range(n_batches):
+            got.extend(int(i) for i in next(it)['_indices'])
+        loader.close()
+        # exact multiset vs the rank-strided sampler prefix (batches may be
+        # queue-reordered by the prefetch threads; each is a contiguous
+        # chunk, so the prefix multiset is invariant). This is the
+        # load-bearing check: the loop's loader really consumes THIS
+        # process's rank-strided share of the global index stream.
+        sampler = iter(InfiniteSampler(48, rank=pid, num_replicas=nproc,
+                                       seed=cfg.training.seed))
+        want = [next(sampler) for _ in range(len(got))]
+        assert sorted(got) == sorted(want), (sorted(got)[:8], sorted(want)[:8])
+        # cross-process: the two rank streams are disjoint BY POSITION
+        # (stream[r::nproc]); exact per-epoch VALUE disjointness does NOT
+        # hold because the reference's InfiniteSampler window-shuffles
+        # across epoch boundaries (ref misc.py:112-143). Each process
+        # consumed 6 local batches of batch_size//nproc = 4 -> 24 indices,
+        # 48 combined ~= one epoch: assert near-full coverage and bounded
+        # repetition instead.
+        mine = np.zeros(48, np.int32)
+        for i in got:
+            mine[i] += 1
+        counts = multihost_utils.process_allgather(mine)
+        assert counts.shape == (2, 48)
+        total = counts.sum(axis=0)
+        assert int(total.sum()) == 48, total.sum()
+        assert int((total == 0).sum()) <= 10, total  # window shuffle slack
+        assert int(total.max()) <= 3, total          # no runaway repetition
+        print(f'MP_DATA_OK process={pid}', flush=True)
+
     print(f'MP_OK process={pid}/{nproc}', flush=True)
 
 

@@ -16,6 +16,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded by -m "not slow"
+
 
 def _free_port() -> int:
     s = socket.socket()
@@ -25,9 +27,32 @@ def _free_port() -> int:
     return port
 
 
+def _make_toy_dataset(root, n=48, res=16, n_classes=3):
+    import json
+
+    import numpy as np
+    import PIL.Image
+    os.makedirs(root)
+    rng = np.random.RandomState(0)
+    labels, cameras = {}, {}
+    for i in range(n):
+        name = f'img{i:03d}.png'
+        arr = rng.randint(0, 255, (res, res, 3), dtype=np.uint8)
+        PIL.Image.fromarray(arr).save(os.path.join(root, name))
+        depth = rng.randint(0, 65535, (res, res), dtype=np.uint16)
+        PIL.Image.fromarray(depth, mode='I;16').save(
+            os.path.join(root, f'img{i:03d}_depth.png'))
+        labels[name] = i % n_classes
+        cameras[name] = [0.1 * i, 1.5, 0.0]
+    with open(os.path.join(root, 'dataset.json'), 'w') as f:
+        json.dump({'labels': labels, 'camera_angles': cameras}, f)
+
+
 def test_two_process_distributed_collectives(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), '_mp_worker.py')
     port = _free_port()
+    data_dir = str(tmp_path / 'toy')
+    _make_toy_dataset(data_dir)
     env_base = {k: v for k, v in os.environ.items()
                 if not k.startswith(('XLA_FLAGS', 'JAX_'))}
     procs = []
@@ -35,7 +60,8 @@ def test_two_process_distributed_collectives(tmp_path):
         env = dict(env_base,
                    COORDINATOR_ADDRESS=f'127.0.0.1:{port}',
                    NUM_PROCESSES='2', PROCESS_ID=str(pid),
-                   MP_CACHE_DIR=str(tmp_path / 'metric-cache'))
+                   MP_CACHE_DIR=str(tmp_path / 'metric-cache'),
+                   MP_DATA_DIR=data_dir)
         procs.append(subprocess.Popen([sys.executable, worker], env=env,
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT, text=True))
@@ -52,3 +78,4 @@ def test_two_process_distributed_collectives(tmp_path):
         assert p.returncode == 0, f'process {i} failed:\n{out[-3000:]}'
         assert f'MP_OK process={i}/2' in out, out[-3000:]
         assert f'MP_CACHE_OK process={i}' in out, out[-3000:]
+        assert f'MP_DATA_OK process={i}' in out, out[-3000:]
