@@ -10,6 +10,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded by -m "not slow"
+
 REPO = os.path.join(os.path.dirname(__file__), '..')
 
 

@@ -24,6 +24,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from tests._torch_inception import TorchInceptionV3FID  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded by -m "not slow"
+
 
 def _randomize_bn(model, rs):
     """Randomize BN stats and boost conv weights 3x: at default random init

@@ -14,6 +14,8 @@ import dataclasses
 from tdgp.training.loop import training_loop
 from tdgp import checkpoint as ckpt
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded by -m "not slow"
+
 
 def loop_cfg():
     cfg = tiny_test_config()

@@ -1,6 +1,7 @@
 """AOT serving export (tdgp/serving.py): the serialized artifact must
 reproduce the live model bit-for-bit-ish on the same backend."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -9,6 +10,8 @@ from tdgp.config import tiny_test_config, asdict
 from tdgp.models.epigraf import Generator
 from tdgp.rendering import sample_camera_params
 from tdgp import serving
+
+pytestmark = pytest.mark.slow  # heavy tier: excluded by -m "not slow"
 
 
 def _init_rngs():

@@ -2,6 +2,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -11,6 +12,8 @@ from tdgp.config import (Config, DatasetConfig, DiscriminatorConfig,
                          TrainingConfig, CameraAdaptorCfg, DepthAdaptorCfg)
 from tdgp.training.schedules import compute_schedules
 from tdgp.training.train_step import create_train_state, make_jitted_train_steps
+
+pytestmark = pytest.mark.slow  # heavy tier: excluded by -m "not slow"
 
 
 def tiny_2d_config() -> Config:

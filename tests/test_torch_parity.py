@@ -28,6 +28,8 @@ from tests._torch_ref import load_reference_epigraf, make_parity_cfgs  # noqa: E
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavy tier: excluded by -m "not slow"
+
 
 @pytest.fixture(scope='module')
 def ref_and_ours():
