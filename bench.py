@@ -25,11 +25,14 @@ jax.config.update('jax_default_prng_impl', 'rbg')
 
 # persistent compile cache: the satellite train step costs minutes of
 # XLA+Mosaic compile per variant; cache hits make bench reruns (and the
-# cost-analysis recompile below) near-free
+# cost-analysis recompile below) near-free. Machine-keyed subdir: stale
+# blobs from a different VM skew numerics (see utils/platform.py).
 import os as _os  # noqa: E402
+
+from tdgp.utils.platform import compilation_cache_dir as _ccd  # noqa: E402
 jax.config.update('jax_compilation_cache_dir',
-                  _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                                '.jax_cache'))
+                  _ccd(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                     '.jax_cache')))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
 
 import jax.numpy as jnp  # noqa: E402
@@ -99,6 +102,9 @@ def run_bench(batch_size: int, batch_gpu=None):
     if os.environ.get('TDGP_REUSE_FAKES'):  # Dmain reuses Gmain's fakes
         cfg = dataclasses.replace(
             cfg, training=dataclasses.replace(cfg.training, dmain_reuse_fakes=True))
+    if os.environ.get('TDGP_NO_REUSE_FAKES'):  # control: fresh Dmain render
+        cfg = dataclasses.replace(
+            cfg, training=dataclasses.replace(cfg.training, dmain_reuse_fakes=False))
     if os.environ.get('TDGP_GMAIN_BF16'):  # bf16 differentiated Gmain render
         cfg = dataclasses.replace(
             cfg, training=dataclasses.replace(cfg.training, gmain_render_bf16=True))

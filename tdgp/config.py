@@ -353,11 +353,14 @@ class TrainingConfig:
     # (decoder + table + 2 gather sweeps + MLP + marcher) per step. Deviates
     # from the reference, which draws fresh z and renders from the
     # just-updated G for Dmain (loss.py:259-262): here D trains against
-    # pre-update-G fakes from the same z that G's step used. Default OFF;
-    # a training-dynamics run must demonstrate FID-neutrality before this
-    # becomes an operating point. Takes precedence over dmain_fake_bf16
-    # (with no Dmain render there is nothing for the bf16 view to run).
-    dmain_reuse_fakes: bool = False
+    # pre-update-G fakes from the same z that G's step used. Default ON
+    # since round 4: measured +33% step throughput at b16 (7.31→9.76
+    # imgs/s, experiments/r4_measure.log) AND FID-clean on the 60-kimg
+    # synth64 A/B (experiments/r4_ab.log: proxy-FID 94.9 control vs 51.8
+    # reuse at 60 kimg; early snapshots within noise). Set false to get
+    # the reference's fresh post-update Dmain fakes. Takes precedence over
+    # dmain_fake_bf16 (with no Dmain render there is nothing to bf16).
+    dmain_reuse_fakes: bool = True
     # Run Gmain's DIFFERENTIATED render (and PL reg) through a render_bf16
     # Generator view: bf16 plane storage + gather/MLP streams in the path
     # gradients flow through. Params stay fp32 masters (runtime casts;
