@@ -64,6 +64,19 @@ _CHUNK = int(os.environ.get('TDGP_SPLAT_CHUNK', '512'))
 # the one-hot spans [K, wrows*W]. TDGP_SPLAT_WROWS is the measurement knob.
 _WROWS = int(os.environ.get('TDGP_SPLAT_WROWS', '2'))
 
+# worklist meta packing: ONE s32 per item carries (item_chunk << FLAG_BITS
+# | flags). Two SMEM-prefetch arrays (meta, key) instead of six keep the
+# worklist under the 1 MB SMEM budget at batch >= 24. These constants are
+# the single source of truth for the field layout — the pack site, both
+# kernels' unpack, and the BlockSpec index_map all use them; widen
+# _META_FLAG_BITS if a fifth flag is ever added.
+_META_F_FIRST = 1    # first item of a window run -> zero the accumulator
+_META_F_LIVE = 2     # real entries (not worklist padding / scratch window)
+_META_F_CFIRST = 4   # first item of a chunk -> (re)build the one-hot
+_META_F_LAST = 8     # last item of a window run -> write back (table_bf16)
+_META_FLAG_BITS = 4
+_META_STRIDE = 1 << _META_FLAG_BITS
+
 
 # --------------------------------------------------------------------- prep
 
@@ -165,14 +178,14 @@ def _splat_kernel(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
                   table_bf16: bool):
     j = pl.program_id(0)
     w_id = key_ref[j]
-    # meta packs (item_chunk << 4 | first | live<<1 | cfirst<<2 | last<<3):
-    # 6 SMEM-prefetched s32 arrays -> 2, keeping the worklist under the 1 MB
-    # SMEM budget at batch >= 24 (6 arrays OOMed smem at b24: 1.29M > 1M)
+    # meta packs (item_chunk << _META_FLAG_BITS | flags): 6 SMEM-prefetched
+    # s32 arrays -> 2, keeping the worklist under the 1 MB SMEM budget at
+    # batch >= 24 (6 arrays OOMed smem at b24: 1.29M > 1M)
     m = meta_ref[j]
-    is_first = (m & 1) == 1
-    is_live = (m & 2) != 0
-    is_cfirst = (m & 4) != 0
-    is_last = (m & 8) != 0
+    is_first = (m & _META_F_FIRST) != 0
+    is_live = (m & _META_F_LIVE) != 0
+    is_cfirst = (m & _META_F_CFIRST) != 0
+    is_last = (m & _META_F_LAST) != 0
     acc_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
 
     # table_bf16: accumulate in an fp32 VMEM scratch across a window's run
@@ -275,11 +288,11 @@ def _splat_kernel_wide(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
     """
     j = pl.program_id(0)
     w_id = key_ref[j]
-    m = meta_ref[j]                   # see _splat_kernel: chunk<<4 | flags
-    is_first = (m & 1) == 1
-    is_live = (m & 2) != 0
-    is_cfirst = (m & 4) != 0
-    is_last = (m & 8) != 0
+    m = meta_ref[j]     # chunk << _META_FLAG_BITS | flags (see _splat_kernel)
+    is_first = (m & _META_F_FIRST) != 0
+    is_live = (m & _META_F_LIVE) != 0
+    is_cfirst = (m & _META_F_CFIRST) != 0
+    is_last = (m & _META_F_LAST) != 0
     acc_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
     tgt = acc_ref if table_bf16 else out_ref
 
@@ -387,7 +400,10 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
     # pack (chunk, 4 flags) into ONE s32 per item: the scalar-prefetch
     # arrays live in SMEM (1 MB); at batch 24 six s32[L] arrays hit 1.29 MB
     # and the compile fails. Two arrays (meta, key) keep b24/b32 in budget.
-    meta = (item_chunk * 16 + first + live * 2 + cfirst * 4 + last * 8)
+    # Field layout is defined once by the _META_* module constants.
+    meta = (item_chunk * _META_STRIDE + first * _META_F_FIRST
+            + live * _META_F_LIVE + cfirst * _META_F_CFIRST
+            + last * _META_F_LAST)
     meta = meta.astype(jnp.int32)
 
     lanes = packed_sorted.shape[1]
@@ -417,7 +433,8 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
         num_scalar_prefetch=2,
         grid=(L,),
         in_specs=[
-            pl.BlockSpec((k, lanes), lambda j, mi, ki: (mi[j] // 16, 0),
+            pl.BlockSpec((k, lanes),
+                         lambda j, mi, ki: (mi[j] // _META_STRIDE, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
