@@ -250,12 +250,12 @@ def training_loop(
         if vis_fn is not None and cur_tick % t.image_snap == 0:
             vis_fn(state, G, cur_nimg)
 
-        metric_results: Dict[str, float] = {}
-        if metric_fn is not None and t.metrics and (cur_tick % t.val_freq == 0 or done):
-            metric_results = metric_fn(state, G, cur_nimg)
-            for name, value in metric_results.items():
-                collector.report(f'Metrics/{name}', value)
-
+        # snapshot BEFORE metric eval (matching the reference, which saves
+        # the pickle and then evaluates it, training_loop.py:461-471): the
+        # eval is the compile-heavy step most likely to die on a flaky
+        # compile service, and a crash there must not lose the tick's
+        # weights (round-4 flagship leg1 lost 10 kimg to exactly that)
+        path = None
         if cur_tick % t.snap == 0 or done:
             # replica-divergence check every snapshot tick (ref
             # training_loop.py:448-456 check_ddp_consistency)
@@ -268,6 +268,14 @@ def training_loop(
                     print(f'WARNING: replica mismatch in {bad[:5]}')
             path = ckpt.save_snapshot(run_dir, state, cur_nimg=cur_nimg,
                                       meta={'batch_idx': batch_idx, 'ada_p': ada_p})
+
+        metric_results: Dict[str, float] = {}
+        if metric_fn is not None and t.metrics and (cur_tick % t.val_freq == 0 or done):
+            metric_results = metric_fn(state, G, cur_nimg)
+            for name, value in metric_results.items():
+                collector.report(f'Metrics/{name}', value)
+
+        if path is not None:
             # best-checkpoint retention (ref training_loop.py:473-497)
             if main_metric and main_metric in metric_results:
                 value = metric_results[main_metric]
