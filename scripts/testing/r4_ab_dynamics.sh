@@ -26,8 +26,12 @@ if [ ! -d data/synth64 ]; then
     --n 4000 --res 64 --classes 4 >> "$LOG" 2>&1
 fi
 
+# explicit reuse=false: the flag defaulted ON after this battery's verdict
+# landed (commit 689a61f) — without the pin a rerun would compare reuse vs
+# reuse and "confirm" neutrality vacuously
 stage ab_control  python scripts/train.py --preset synth64 --desc r4-ab-control \
-  --max-kimg "$KIMG" --run-root "$ROOT" dataset.path=data/synth64 dataset.mirror=true
+  --max-kimg "$KIMG" --run-root "$ROOT" dataset.path=data/synth64 dataset.mirror=true \
+  training.dmain_reuse_fakes=false
 stage ab_reuse    python scripts/train.py --preset synth64 --desc r4-ab-reuse \
   --max-kimg "$KIMG" --run-root "$ROOT" dataset.path=data/synth64 dataset.mirror=true \
   training.dmain_reuse_fakes=true

@@ -26,16 +26,48 @@ def snapshot_path(run_dir: str, kimg: int) -> str:
     return os.path.join(run_dir, f'network-snapshot-{int(kimg):06d}')
 
 
+def _host_tree(state):
+    """Pull a (possibly multi-host) TrainState to host numpy.
+
+    jax.device_get raises on arrays spanning non-addressable devices; the
+    train state is REPLICATED across the mesh, so each process's local
+    shard IS the full value — read that."""
+    def pull(x):
+        if hasattr(x, 'is_fully_addressable') and not x.is_fully_addressable:
+            return np.asarray(x.addressable_shards[0].data)
+        return jax.device_get(x)
+    return jax.tree.map(pull, state)
+
+
 def save_snapshot(run_dir: str, state, *, cur_nimg: int, meta: Optional[Dict[str, Any]] = None) -> str:
-    """Save the full TrainState + metadata under network-snapshot-{kimg:06d}."""
+    """Save the full TrainState + metadata under network-snapshot-{kimg:06d}.
+
+    Multi-process: every process participates (the host pull touches global
+    arrays), process 0 writes the files (state is replicated — orbax on host
+    trees is not a collective save), and a barrier keeps the others from
+    racing ahead to read a half-written snapshot (ref training_loop.py:461
+    writes the pickle on rank 0 only)."""
     path = os.path.abspath(snapshot_path(run_dir, cur_nimg // 1000))
-    ckptr = ocp.StandardCheckpointer()
-    if os.path.exists(path):
+    host_state = _host_tree(state)
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        from jax.experimental import multihost_utils
+    if jax.process_index() == 0 and os.path.exists(path):
         shutil.rmtree(path)
-    ckptr.save(path, jax.device_get(state))
+    if multiproc:  # nobody enters orbax's save while rank 0 clears the dir
+        multihost_utils.sync_global_devices(f'tdgp_save_pre_{cur_nimg}')
+    # orbax's Checkpointer is itself collective in multi-process runs (it
+    # barriers internally on '_Checkpointer:save_start' and coordinates who
+    # writes) — ALL processes must call save with the same (host,
+    # replicated) tree; a rank-0-only call deadlocks its barrier
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, host_state)
     ckptr.wait_until_finished()
-    with open(path + '.meta.json', 'w') as f:
-        json.dump({'cur_nimg': int(cur_nimg), **(meta or {})}, f)
+    if jax.process_index() == 0:
+        with open(path + '.meta.json', 'w') as f:
+            json.dump({'cur_nimg': int(cur_nimg), **(meta or {})}, f)
+    if multiproc:  # meta.json visible to every process before returning
+        multihost_utils.sync_global_devices(f'tdgp_save_post_{cur_nimg}')
     return path
 
 
@@ -64,7 +96,8 @@ def resolve_resume(run_dir: str, resume: str) -> Optional[str]:
 def load_snapshot(path: str, target_state) -> Tuple[Any, Dict[str, Any]]:
     """Restore a TrainState (shape/dtype template = target_state) + metadata."""
     ckptr = ocp.StandardCheckpointer()
-    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(target_state))
+    # _host_tree (not device_get): the template may hold multi-host arrays
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, _host_tree(target_state))
     state = ckptr.restore(os.path.abspath(path), abstract)
     meta = {}
     meta_path = path + '.meta.json'

@@ -120,6 +120,13 @@ def training_loop(
     num_shards = 1 if mesh is None else mesh.devices.size
     assert batch_size % num_shards == 0
     total_kimg = max_kimg if max_kimg is not None else t.total_kimg
+    # host-side IO (stats.jsonl, tensorboard, prints, best-ckpt deletes) is
+    # the main process's job in a multi-process run — every process shares
+    # run_dir (ref training_loop.py gates the same things on rank 0).
+    # Device-side collectives (the step, snapshot save, metric feature
+    # gather) stay ALL-process: they are SPMD programs over global arrays.
+    is_main = jax.process_index() == 0
+    verbose = verbose and is_main
 
     # ---------------------------------------------------------------- data
     if batch_iterator is None:
@@ -157,8 +164,9 @@ def training_loop(
 
     # ---------------------------------------------------------------- loop
     collector = StatsCollector()
-    jsonl = JsonlLogger(os.path.join(run_dir, 'stats.jsonl'))
-    tb = TBWriter(os.path.join(run_dir, 'tensorboard'), enabled=t.tensorboard)
+    jsonl = JsonlLogger(os.path.join(run_dir, 'stats.jsonl')) if is_main else None
+    tb = TBWriter(os.path.join(run_dir, 'tensorboard'),
+                  enabled=t.tensorboard and is_main)
     timer = PhaseTimer()
     posterior_fn = make_camera_posterior_fn(G, cfg)
     profile_ctx = trace(os.path.join(run_dir, 'profiling_logs'),
@@ -178,6 +186,7 @@ def training_loop(
     best_metric = None
     best_snapshot_path = None
     main_metric = t.metrics[0] if t.metrics else None
+    metrics_disabled = False
 
     # stats stay on device between ticks: pulling every scalar every step
     # forces a host round-trip per step (round-1 review weak spot #3); the
@@ -186,14 +195,23 @@ def training_loop(
     stats_buf: list = []
 
     def drain_stats():
+        from tdgp.training.telemetry import host_np
         for s in stats_buf:
-            collector.report_dict({k: float(np.asarray(v)) for k, v in s.items()})
+            # host_np: step stats are replicated outputs of the shard_map
+            # step — multi-host np.asarray would see non-addressable shards
+            collector.report_dict({k: float(host_np(v)) for k, v in s.items()})
         stats_buf.clear()
 
+    local_angles = None
     while True:
         with timer.phase('data'):
             batch = next(batch_iterator)
             batch.pop('_indices', None)  # loader observability, not step input
+            # host-local copy for tick telemetry: after to_global these are
+            # globally-sharded jax.Arrays whose np.asarray would crash on
+            # non-addressable shards
+            local_angles = batch.get('gen_camera_angles_g',
+                                     batch.get('camera_angles'))
             if to_global is not None:
                 batch = to_global(batch)
         sched = compute_schedules(cfg, cur_nimg, ada_p=ada_p)
@@ -212,7 +230,8 @@ def training_loop(
         # ADA controller (ref training_loop.py:372-376); p clamped to [0, 1]
         # (augment probability — the reference implicitly bounds it)
         if t.augment.mode == 'ada' and batch_idx % t.augment.ada_interval == 0 and ada_signs_acc:
-            signs = float(np.mean([np.asarray(s) for s in ada_signs_acc]))
+            from tdgp.training.telemetry import host_np
+            signs = float(np.mean([host_np(s) for s in ada_signs_acc]))
             adjust = np.sign(signs - t.augment.target) * \
                 (batch_size * t.augment.ada_interval) / (t.augment.ada_kimg * 1000)
             ada_p = min(max(ada_p + adjust, 0.0), 1.0)
@@ -237,8 +256,7 @@ def training_loop(
         rng, k_post = jax.random.split(rng)
         collector.report_dict(camera_posterior_report(
             posterior_fn, g_variables(state), k_post, tb=tb, step=cur_nimg,
-            origin_angles=batch.get('gen_camera_angles_g',
-                                    batch.get('camera_angles'))))
+            origin_angles=local_angles))
         if cur_tick == 2 and t.run_profiling:
             profile_ctx.__exit__(None, None, None)
         if verbose:
@@ -270,10 +288,24 @@ def training_loop(
                                       meta={'batch_idx': batch_idx, 'ada_p': ada_p})
 
         metric_results: Dict[str, float] = {}
-        if metric_fn is not None and t.metrics and (cur_tick % t.val_freq == 0 or done):
-            metric_results = metric_fn(state, G, cur_nimg)
-            for name, value in metric_results.items():
-                collector.report(f'Metrics/{name}', value)
+        if (metric_fn is not None and t.metrics and not metrics_disabled
+                and (cur_tick % t.val_freq == 0 or done)):
+            # failure containment (SURVEY §5.3): the in-loop eval is a big
+            # fresh compile — on flaky compile services it can die while
+            # the training programs themselves are healthy (the round-4
+            # flagship lost two legs to exactly this). A failed eval warns
+            # and disables further in-loop metrics; FID comes offline from
+            # the (already-saved) snapshots via scripts/calc_metrics.py.
+            try:
+                metric_results = metric_fn(state, G, cur_nimg)
+                for name, value in metric_results.items():
+                    collector.report(f'Metrics/{name}', value)
+            except Exception as e:  # noqa: BLE001 — contain, don't die
+                metrics_disabled = True
+                if verbose:
+                    print(f'WARNING: in-loop metric eval failed ({type(e).__name__}: '
+                          f'{str(e)[:200]}); disabling in-loop metrics for this '
+                          f'run — compute offline via scripts/calc_metrics.py')
 
         if path is not None:
             # best-checkpoint retention (ref training_loop.py:473-497)
@@ -283,11 +315,13 @@ def training_loop(
                     if best_snapshot_path and best_snapshot_path != path:
                         prev_kimg = int(os.path.basename(best_snapshot_path).split('-')[-1])
                         if prev_kimg % (t.snap * t.tick_kimg) != 0:
-                            ckpt.delete_snapshot(best_snapshot_path)
+                            if is_main:
+                                ckpt.delete_snapshot(best_snapshot_path)
                     best_metric, best_snapshot_path = value, path
 
         tick_stats = collector.as_dict()
-        jsonl.write(tick_stats)
+        if jsonl is not None:
+            jsonl.write(tick_stats)
         tb.scalars({k: v['mean'] if isinstance(v, dict) else v
                     for k, v in tick_stats.items()}, cur_nimg)
         tb.flush()
@@ -299,6 +333,7 @@ def training_loop(
 
     if t.run_profiling and cur_tick < 2:
         profile_ctx.__exit__(None, None, None)
-    jsonl.close()
+    if jsonl is not None:
+        jsonl.close()
     tb.close()
     return state

@@ -19,6 +19,17 @@ import jax.numpy as jnp
 from tdgp.config import Config, asdict
 
 
+def host_np(x) -> np.ndarray:
+    """np view of a possibly multi-host jax.Array.
+
+    np.asarray on an array that spans non-addressable devices raises; for
+    REPLICATED outputs (the posterior samples, all telemetry pulls) the
+    local shard IS the full value, so read that."""
+    if hasattr(x, 'is_fully_addressable') and not x.is_fully_addressable:
+        return np.asarray(x.addressable_shards[0].data)
+    return np.asarray(x)
+
+
 class TBWriter:
     """Guarded TensorBoard writer: no-ops if torch/tensorboard is missing."""
 
@@ -57,7 +68,7 @@ class TBWriter:
 
 def progress_scalars(sched, ada_p: float) -> Dict[str, float]:
     """The 3DGP progress panel (ref training_loop.py:515-535)."""
-    pull = lambda x: float(np.asarray(x))
+    pull = lambda x: float(host_np(x))
     return {
         'Progress/nerf_noise_std': pull(sched.nerf_noise_std),
         'Progress/blur_sigma': pull(sched.blur_sigma),
@@ -104,7 +115,7 @@ def make_camera_posterior_fn(G, cfg: Config, num_samples: int = 1024):
             if origin_angles is None:
                 return None
             origin_angles = jnp.asarray(
-                np.resize(np.asarray(origin_angles), (num_samples, 3)))
+                np.resize(host_np(origin_angles), (num_samples, 3)))
         else:
             origin_angles = None
         return _fn(g_vars, rng, origin_angles)
@@ -128,14 +139,16 @@ def camera_posterior_report(posterior_fn, g_vars, rng,
     out: Dict[str, float] = {}
 
     def series(group) -> Dict[str, np.ndarray]:
+        angles = host_np(group.angles)
+        look_at = host_np(group.look_at)
         return {
-            'yaw': np.asarray(group.angles[:, 0]),
-            'pitch': np.asarray(group.angles[:, 1]),
-            'fov': np.asarray(group.fov),
-            'radius': np.asarray(group.radius),
-            'look_at_x': np.asarray(group.look_at[:, 0]),
-            'look_at_y': np.asarray(group.look_at[:, 1]),
-            'look_at_z': np.asarray(group.look_at[:, 2]),
+            'yaw': angles[:, 0],
+            'pitch': angles[:, 1],
+            'fov': host_np(group.fov),
+            'radius': host_np(group.radius),
+            'look_at_x': look_at[:, 0],
+            'look_at_y': look_at[:, 1],
+            'look_at_z': look_at[:, 2],
         }
 
     for tag, group in (('posterior', post), ('prior', prior)):

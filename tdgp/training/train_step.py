@@ -256,6 +256,17 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
         import dataclasses
         G_main = Generator(dataclasses.replace(cfg.generator, render_bf16=True))
     reuse_fakes = cfg.training.dmain_reuse_fakes and not is_2d
+    if reuse_fakes and cfg.training.dmain_fake_bf16:
+        # surface the precedence loudly: with reuse there IS no Dmain
+        # render for the bf16 view to run, so the configured flag is inert
+        # (reuse defaults ON since round 4 — a preset that sets
+        # dmain_fake_bf16 must also set dmain_reuse_fakes=false)
+        import warnings
+        warnings.warn('training.dmain_fake_bf16 has no effect while '
+                      'training.dmain_reuse_fakes is enabled (the default): '
+                      'Dmain renders no fresh fakes. Set '
+                      'training.dmain_reuse_fakes=false to use it.',
+                      stacklevel=2)
 
     augment_pipe = None
     if cfg.training.augment.mode != 'noaug':

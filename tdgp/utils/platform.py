@@ -33,15 +33,23 @@ def machine_cache_key() -> str:
     bit-equivalence — and a documented SIGILL risk). Keying the dir by CPU
     flags + jax version quarantines each machine's blobs."""
     import hashlib
+    import platform as _platform
 
     import jax
     try:
         with open('/proc/cpuinfo') as f:
-            flags_line = next((l for l in f if l.startswith('flags')),
-                              'noflags')
+            # x86 exposes 'flags', aarch64 'Features'; grab whichever
+            flags_line = next((l for l in f
+                               if l.startswith(('flags', 'Features'))), '')
     except OSError:
-        flags_line = 'noflags'
-    raw = f'{jax.__version__}|{flags_line}'
+        flags_line = ''
+    if not flags_line:
+        # no /proc (macOS/Windows) or an unexpected format: fall back to
+        # the fullest host description available so two different machines
+        # still land in different dirs (a constant fallback would silently
+        # re-enable the cross-machine AOT contamination this key prevents)
+        flags_line = f'{_platform.platform()}|{_platform.processor()}'
+    raw = f'{jax.__version__}|{_platform.machine()}|{flags_line}'
     return hashlib.md5(raw.encode()).hexdigest()[:12]
 
 

@@ -17,6 +17,16 @@ jax.config.update('jax_platforms', 'cpu')
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
+# persistent compile cache (machine-keyed, same as conftest): the MP_LOOP
+# leg compiles the full train step in each worker — minutes fresh, cheap
+# on reruns
+from tdgp.utils.platform import compilation_cache_dir  # noqa: E402
+
+jax.config.update('jax_compilation_cache_dir', os.path.abspath(
+    compilation_cache_dir(os.path.join(os.path.dirname(__file__), '..', '.jax_cache'))))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
 import numpy as np
 import jax.numpy as jnp
 from jax.experimental import multihost_utils
@@ -147,6 +157,43 @@ def main():
         assert int((total == 0).sum()) <= 10, total  # window shuffle slack
         assert int(total.max()) <= 3, total          # no runaway repetition
         print(f'MP_DATA_OK process={pid}', flush=True)
+
+    # ---- end-to-end 2-process TRAINING LOOP smoke (MP_LOOP_DIR): the full
+    # loop over the global 2x2 mesh — shard_map step with cross-process
+    # pmean, rank-0-gated host IO (stats.jsonl/TB), multi-process snapshot
+    # save (local-shard pull + rank-0 write + barrier), telemetry host_np
+    # pulls on multi-host arrays. Synthetic data (dims self-consistent);
+    # the rank-sharded REAL loader is covered by the MP_DATA leg above.
+    loop_dir = os.environ.get('MP_LOOP_DIR')
+    if loop_dir:
+        import dataclasses
+
+        from tdgp.config import tiny_test_config
+        from tdgp.training.loop import training_loop
+
+        lcfg = tiny_test_config()
+        lcfg = dataclasses.replace(
+            lcfg, training=dataclasses.replace(lcfg.training, batch_size=8))
+        # 6 global batches -> the done-tick fires once: one jsonl line, one
+        # snapshot, one camera-posterior telemetry pull
+        final_state = training_loop(lcfg, loop_dir, mesh=mesh,
+                                    max_kimg=0.048, verbose=False)
+        # params stayed replica-consistent across processes
+        leaf = np.asarray(jax.tree.leaves(final_state.g_params)[0].addressable_shards[0].data)
+        sums = multihost_utils.process_allgather(
+            np.asarray([float(np.abs(leaf).sum())], np.float64))
+        assert np.allclose(sums[0], sums[1]), sums
+        # snapshot written (by rank 0, behind the save barrier -> visible
+        # to both) and host IO gated to rank 0
+        snaps = [f for f in os.listdir(loop_dir)
+                 if f.startswith('network-snapshot-') and not f.endswith('.json')]
+        assert snaps, os.listdir(loop_dir)
+        stats_path = os.path.join(loop_dir, 'stats.jsonl')
+        assert os.path.exists(stats_path), os.listdir(loop_dir)
+        with open(stats_path) as f:
+            n_lines = sum(1 for _ in f)
+        assert n_lines == 1, n_lines  # exactly one tick, written once
+        print(f'MP_LOOP_OK process={pid}', flush=True)
 
     print(f'MP_OK process={pid}/{nproc}', flush=True)
 

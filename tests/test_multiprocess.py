@@ -61,14 +61,17 @@ def test_two_process_distributed_collectives(tmp_path):
                    COORDINATOR_ADDRESS=f'127.0.0.1:{port}',
                    NUM_PROCESSES='2', PROCESS_ID=str(pid),
                    MP_CACHE_DIR=str(tmp_path / 'metric-cache'),
-                   MP_DATA_DIR=data_dir)
+                   MP_DATA_DIR=data_dir,
+                   MP_LOOP_DIR=str(tmp_path / 'loop-run'))
         procs.append(subprocess.Popen([sys.executable, worker], env=env,
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT, text=True))
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            # the MP_LOOP leg compiles the full train step in each worker:
+            # minutes on a cold compile cache, fast warm
+            out, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -79,3 +82,4 @@ def test_two_process_distributed_collectives(tmp_path):
         assert f'MP_OK process={i}/2' in out, out[-3000:]
         assert f'MP_CACHE_OK process={i}' in out, out[-3000:]
         assert f'MP_DATA_OK process={i}' in out, out[-3000:]
+        assert f'MP_LOOP_OK process={i}' in out, out[-3000:]
