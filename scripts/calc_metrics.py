@@ -39,9 +39,14 @@ def main():
     ctx = EvalContext(cfg=cfg, G=G, g_vars=g_vars, dataset=dataset,
                       detector=detector, batch_size=args.batch_size,
                       cache_dir=os.path.join(args.run_dir, 'metric-cache'))
+    # normalize the snapshot label: an explicit path records just its kimg
+    # id so metric-*.jsonl stays parseable by plot/compare tooling
+    import re
+    m = re.search(r'network-snapshot-(\d{6})', args.snapshot)
+    snap_label = m.group(1) if m else args.snapshot
     for name in args.metrics.split(','):
         result = calc_metric(name, ctx)
-        report_metric(result, run_dir=args.run_dir, snapshot=args.snapshot)
+        report_metric(result, run_dir=args.run_dir, snapshot=snap_label)
 
 
 if __name__ == '__main__':
