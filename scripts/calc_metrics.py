@@ -19,6 +19,9 @@ def main():
     ap.add_argument('--metrics', default='fid2k_full')
     ap.add_argument('--data', default=None, help='dataset path (defaults to config)')
     ap.add_argument('--batch-size', type=int, default=16)
+    ap.add_argument('--batch-gpu', type=int, default=None,
+                    help='static per-compile render micro-batch (default: '
+                         'auto — full batch <=128px, 4 at >=256px)')
     args = ap.parse_args()
 
     from scripts.inference import load_run
@@ -38,6 +41,7 @@ def main():
 
     ctx = EvalContext(cfg=cfg, G=G, g_vars=g_vars, dataset=dataset,
                       detector=detector, batch_size=args.batch_size,
+                      batch_gpu=args.batch_gpu,
                       cache_dir=os.path.join(args.run_dir, 'metric-cache'))
     # normalize the snapshot label: an explicit path records just its kimg
     # id so metric-*.jsonl stays parseable by plot/compare tooling

@@ -59,7 +59,22 @@ class EvalContext:
     ppl_detector: Optional[Callable] = None   # VGG16 for PPL (falls back to detector)
     cache_dir: Optional[str] = None
     batch_size: int = 16
+    # Static per-compile G-render micro-batch. None = auto: full batch at
+    # <=128 px, 4 at >=256 px — the full-batch 256² render program is what
+    # crashes this rig's remote-compile service (HTTP 500, see
+    # training/loop.py metric containment); a 4-image program compiles.
+    batch_gpu: Optional[int] = None
     _sampler: Optional[Callable] = None
+
+    def _resolve_batch_gpu(self) -> int:
+        """Largest divisor of batch_size that is <= the requested/auto cap."""
+        cap = self.batch_gpu
+        if cap is None:
+            cap = self.batch_size if self.cfg.generator.img_resolution < 256 else 4
+        cap = max(1, min(cap, self.batch_size))
+        while self.batch_size % cap:
+            cap -= 1
+        return cap
 
     def make_image_sampler(self) -> Callable:
         """(batch_size, seed) -> uint8 images [N,H,W,3] from G_ema
@@ -87,18 +102,33 @@ class EvalContext:
             return to_uint8_images(img)
 
         cond_iter = iterate_random_conditioning(cfg, self.dataset, self.batch_size)
+        bg = self._resolve_batch_gpu()
 
         def sample(batch_size: int, seed: int):
             assert batch_size == self.batch_size
             cond = next(cond_iter)
             z = jax.random.normal(jax.random.PRNGKey(seed), (batch_size, cfg.generator.z_dim))
             cam = cond['camera_params']
-            return _render(z, cond['c'], cam.angles, cam.fov, cam.radius, cam.look_at)
+            # host-level micro-batching: one small static-shape render
+            # program, reused across chunks (compile-service friendly)
+            chunks = [_render(z[i:i + bg], cond['c'][i:i + bg], cam.angles[i:i + bg],
+                              cam.fov[i:i + bg], cam.radius[i:i + bg],
+                              cam.look_at[i:i + bg])
+                      for i in range(0, batch_size, bg)]
+            return chunks[0] if len(chunks) == 1 else np.concatenate(
+                [np.asarray(x) for x in chunks], axis=0)
 
         return sample
 
     def make_depth_sampler(self, cut_quantile: float = 0.5) -> Callable:
-        """Frontal-camera depth maps for NFS (ref metric_utils.py:323-350)."""
+        """Frontal-camera depth maps for NFS (ref metric_utils.py:323-350).
+
+        Note: cut_quantile pools densities over the whole rendered tensor
+        (ref tri_plane_renderer.py:366-368 — torch.quantile over batch
+        incl. the batch dim), so with batch_gpu micro-batching the pool is
+        the micro-batch, not the eval batch. The reference's NFS is itself
+        eval-batch-size-dependent for the same reason; at cut_quantile=0
+        micro-batching is exactly value-preserving."""
         cfg = self.cfg
         G = self.G
         g_vars = self.g_vars
@@ -126,11 +156,15 @@ class EvalContext:
             return G.apply(g_vars, method=fwd)
 
         cond_iter = iterate_random_conditioning(cfg, self.dataset, self.batch_size)
+        bg = self._resolve_batch_gpu()
 
         def sample(batch_size: int, seed: int):
             cond = next(cond_iter)
             z = jax.random.normal(jax.random.PRNGKey(seed), (batch_size, cfg.generator.z_dim))
-            return _render_depth(z, cond['c'])
+            chunks = [_render_depth(z[i:i + bg], cond['c'][i:i + bg])
+                      for i in range(0, batch_size, bg)]
+            return chunks[0] if len(chunks) == 1 else np.concatenate(
+                [np.asarray(x) for x in chunks], axis=0)
 
         return sample
 
@@ -238,6 +272,8 @@ def ppl2_wend(ctx: EvalContext) -> Dict[str, float]:
 
         return G.apply(g_vars, method=fwd)
 
+    bg = ctx._resolve_batch_gpu()
+
     def sample_pair(batch_size, seed):
         cond = next(cond_iter)
         key = jax.random.PRNGKey(seed)
@@ -246,8 +282,17 @@ def ppl2_wend(ctx: EvalContext) -> Dict[str, float]:
         z1 = jax.random.normal(k1, (batch_size, cfg.generator.z_dim))
         t = jax.random.uniform(kt, (batch_size,))
         cam = cond['camera_params']
-        return _pair(z0, z1, cond['c'], cam.angles, cam.fov, cam.radius,
-                     cam.look_at, t)
+        # micro-batch the pair render (2 synthesis calls per program —
+        # the largest eval program; see EvalContext.batch_gpu)
+        chunks = [_pair(z0[i:i + bg], z1[i:i + bg], cond['c'][i:i + bg],
+                        cam.angles[i:i + bg], cam.fov[i:i + bg],
+                        cam.radius[i:i + bg], cam.look_at[i:i + bg],
+                        t[i:i + bg])
+                  for i in range(0, batch_size, bg)]
+        if len(chunks) == 1:
+            return chunks[0]
+        return (np.concatenate([np.asarray(a) for a, _ in chunks], axis=0),
+                np.concatenate([np.asarray(b) for _, b in chunks], axis=0))
 
     detector = ctx.ppl_detector or ctx.detector
     value = compute_ppl(sample_pair, detector, num_samples=2048,

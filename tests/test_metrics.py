@@ -124,6 +124,39 @@ def test_eval_context_samplers_run():
     assert np.all(np.isfinite(np.asarray(depth)))
 
 
+@pytest.mark.slow
+def test_eval_batch_gpu_micro_batching_matches_full():
+    """batch_gpu host-level micro-batching must reproduce the full-batch
+    sampler exactly: G renders are per-sample independent, and the
+    conditioning stream is seed-deterministic (features.py:193)."""
+    from tdgp.config import tiny_test_config
+    from tdgp.metrics.registry import EvalContext
+    from tdgp.training.train_step import create_train_state, ema_variables
+
+    cfg = tiny_test_config()
+    state, G, D = create_train_state(cfg, seed=0, local_batch=2)
+    g_vars = ema_variables(state)
+    det = RandomProjectionDetector(16)
+    full = EvalContext(cfg=cfg, G=G, g_vars=g_vars, detector=det, batch_size=2)
+    micro = EvalContext(cfg=cfg, G=G, g_vars=g_vars, detector=det, batch_size=2,
+                        batch_gpu=1)
+    assert micro._resolve_batch_gpu() == 1
+    assert full._resolve_batch_gpu() == 2  # auto = full batch below 256 px
+    a = np.asarray(full.make_image_sampler()(2, 0))
+    b = np.asarray(micro.make_image_sampler()(2, 0))
+    # uint8 after identical fp math; allow off-by-one from rounding at the
+    # quantization boundary under a different batch shape
+    assert np.max(np.abs(a.astype(np.int16) - b.astype(np.int16))) <= 1
+    # cut_quantile pools densities across the rendered batch (matching the
+    # reference's global torch.quantile), so exact equality holds only at
+    # cut_quantile=0; at the NFS default 0.5 the micro-batch is the pool.
+    da = np.asarray(full.make_depth_sampler(cut_quantile=0.0)(2, 0))
+    db = np.asarray(micro.make_depth_sampler(cut_quantile=0.0)(2, 0))
+    np.testing.assert_allclose(da, db, atol=1e-5, rtol=1e-5)
+    dq = np.asarray(micro.make_depth_sampler(cut_quantile=0.5)(2, 0))
+    assert dq.shape == da.shape and np.all(np.isfinite(dq))
+
+
 def test_multiprocess_feature_gather_semantics():
     """Rank-strided dataset subsets + deterministic rank-interleaved gather
     (ref metric_utils.py:145-155, :269): simulating 2 processes must cover
