@@ -35,6 +35,18 @@ def load_run(run_dir: str, snapshot: str = 'latest', metric: str = 'fid2k_full')
     from tdgp.training.train_step import create_train_state, ema_variables
 
     cfg = load_config(os.path.join(run_dir, 'experiment_config.yaml'), finalize=False)
+    if snapshot.endswith('.npz'):
+        # EMA-only export (scripts/infra/export_ema.py) — the slim artifact
+        # that survives sessions when full orbax TrainStates (~6x larger)
+        # are not retained. Flat 'col/path/leaf' layout == ema_variables
+        # structure, so no TrainState template is needed.
+        import numpy as np
+        from tdgp.checkpoint import variables_from_flat
+        from tdgp.training.train_step import build_models
+        path = snapshot if os.path.exists(snapshot) \
+            else os.path.join(run_dir, snapshot)
+        G, _ = build_models(cfg)
+        return cfg, G, variables_from_flat(np.load(path))
     state, G, D = create_train_state(cfg, seed=0, local_batch=2)
     if snapshot == 'best':
         path = ckpt.find_best_checkpoint(run_dir, metric=metric)

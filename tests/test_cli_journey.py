@@ -65,6 +65,22 @@ def test_full_journey(tmp_path):
         timeout=2400)
     assert os.path.exists(grid_path)
 
+    # EMA-only export (the slim cross-session artifact) -> inference from
+    # the .npz must render the SAME grid as the orbax 'latest' snapshot:
+    # both paths read the identical EMA params, same seeds, same program.
+    npz_path = os.path.join(run_dir, 'g_ema.npz')
+    run(['scripts/infra/export_ema.py', '--run-dir', run_dir,
+         '--out', npz_path], timeout=600)
+    assert os.path.exists(npz_path)
+    grid_npz = os.path.join(run_dir, 'grid_npz.png')
+    run(['scripts/inference.py', '--run-dir', run_dir, '--snapshot', npz_path,
+         '--vis', 'image_grid', '--seeds', '0-3', '--batch-size', '4',
+         '--output', grid_npz], timeout=2400)
+    import PIL.Image
+    a = np.asarray(PIL.Image.open(grid_path))
+    b = np.asarray(PIL.Image.open(grid_npz))
+    np.testing.assert_array_equal(a, b)
+
     # geometry extraction
     run(['scripts/extract_geometry.py', '--run-dir', run_dir, '--seeds', '0',
          '--resolution', '24', '--save-mrc'], timeout=2400)
