@@ -43,8 +43,10 @@ def load_run(run_dir: str, snapshot: str = 'latest', metric: str = 'fid2k_full')
         import numpy as np
         from tdgp.checkpoint import variables_from_flat
         from tdgp.training.train_step import build_models
-        path = snapshot if os.path.exists(snapshot) \
-            else os.path.join(run_dir, snapshot)
+        candidates = [snapshot, os.path.join(run_dir, snapshot)]
+        path = next((p for p in candidates if os.path.exists(p)), None)
+        assert path, (f'no EMA export found; tried {candidates[0]!r} and '
+                      f'{candidates[1]!r}')
         G, _ = build_models(cfg)
         return cfg, G, variables_from_flat(np.load(path))
     state, G, D = create_train_state(cfg, seed=0, local_batch=2)

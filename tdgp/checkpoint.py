@@ -71,6 +71,23 @@ def save_snapshot(run_dir: str, state, *, cur_nimg: int, meta: Optional[Dict[str
     return path
 
 
+def snapshot_kimg(snap) -> Optional[int]:
+    """Parse the kimg out of any snapshot reference — a zero-padded kimg
+    string ('000010', what calc_metrics writes into metric jsonls), a
+    snapshot dir basename, or a full path. The ONE parser for the value
+    that best-checkpoint retention keys off (the loop's path-basename
+    parse and find_best_checkpoint's int(snap) previously disagreed)."""
+    if snap is None:
+        return None
+    if isinstance(snap, int):
+        return snap
+    name = os.path.basename(str(snap).rstrip('/'))
+    m = SNAPSHOT_RE.match(name)
+    if m:
+        return int(m.group(1))
+    return int(name) if name.isdigit() else None
+
+
 def list_snapshots(run_dir: str):
     """Sorted (kimg, path) pairs of snapshots in run_dir (ref train.py:249-259)."""
     if not os.path.isdir(run_dir):
@@ -120,10 +137,9 @@ def find_best_checkpoint(run_dir: str, metric: str = 'fid2k_full') -> Optional[s
             for line in f:
                 rec = json.loads(line)
                 val = rec.get('results', {}).get(metric)
-                snap = rec.get('snapshot')
-                if val is None or snap is None:
+                kimg = snapshot_kimg(rec.get('snapshot'))
+                if val is None or kimg is None:
                     continue
-                kimg = int(snap)
                 if kimg in snaps and (best_val is None or val < best_val):
                     best_val, best_kimg = val, kimg
         if best_kimg is not None:

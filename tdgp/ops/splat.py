@@ -243,10 +243,12 @@ def _splat_kernel(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
     # static grid; skipping them cuts the wasted matmuls
     @pl.when(is_live)
     def _():
-        vals = ent_ref[:, :F].astype(acc_dtype)         # [K, F]
+        # window-membership mask applied to vals [K, F], not the [K, W]
+        # one-hots: the mask is per-row and exact ({0,1} multiplies), so
+        # masking either matmul operand is bit-identical — vals is 16x
+        # narrower, saving two [K, W] VPU passes per worklist item
         match = (key_sc_ref[:].astype(jnp.int32) == w_id).astype(acc_dtype)
-        oh_top = oh_top_ref[:] * match                  # [K, W] row-masked
-        oh_bot = oh_bot_ref[:] * match
+        vals = ent_ref[:, :F].astype(acc_dtype) * match  # [K, F] row-masked
         # mxu_bf16: single-pass bf16 MXU (fp32 accumulate) instead of
         # HIGHEST's 6-pass fp32 emulation — only per-entry products round
         # to bf16 (~0.4% rel), the tolerance already accepted for bf16
@@ -254,10 +256,10 @@ def _splat_kernel(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
         prec = (jax.lax.Precision.DEFAULT if mxu_bf16
                 else jax.lax.Precision.HIGHEST)
         dn = (((0,), (0,)), ((), ()))
-        top = jax.lax.dot_general(vals, oh_top, dn,
+        top = jax.lax.dot_general(vals, oh_top_ref[:], dn,
                                   preferred_element_type=jnp.float32,
                                   precision=prec)
-        bot = jax.lax.dot_general(vals, oh_bot, dn,
+        bot = jax.lax.dot_general(vals, oh_bot_ref[:], dn,
                                   preferred_element_type=jnp.float32,
                                   precision=prec)
         if table_bf16:
@@ -335,13 +337,14 @@ def _splat_kernel_wide(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
 
     @pl.when(is_live)
     def _():
-        vals = ent_ref[:, :F].astype(acc_dtype)     # [K, F]
+        # mask on vals [K, F], not the [K, wrows*W] one-hot — per-row exact
+        # {0,1} mask commutes across the contraction (see _splat_kernel)
         match = (key_sc_ref[:].astype(jnp.int32) == w_id).astype(acc_dtype)
-        oh = oh_ref[:] * match                      # [K, wrows*W] row-masked
+        vals = ent_ref[:, :F].astype(acc_dtype) * match  # [K, F] row-masked
         prec = (jax.lax.Precision.DEFAULT if mxu_bf16
                 else jax.lax.Precision.HIGHEST)
         dn = (((0,), (0,)), ((), ()))
-        blk = jax.lax.dot_general(vals, oh, dn,
+        blk = jax.lax.dot_general(vals, oh_ref[:], dn,
                                   preferred_element_type=jnp.float32,
                                   precision=prec)   # [F, wrows*W]
         if table_bf16:
@@ -800,8 +803,10 @@ def _sample_bwd(scale, interpret, pack, res, g):
     mxu_bf16 = is_bf16_pack if mxu is None else (mxu == 'bf16')
     entry = os.environ.get('TDGP_SPLAT_ENTRY')
     entry_bf16 = is_bf16_pack if entry is None else (entry == 'bf16')
-    # table_bf16 defaults OFF until measured on-chip (TDGP_SPLAT_TABLE=bf16
-    # is the measurement knob; flip the default with a ledger entry)
+    # table_bf16 is REJECTED as a default: its 60-kimg dynamics A/B diverged
+    # (+27.5% mean FID-proxy gap, hard late divergence — DESIGN.md round-5
+    # ledger). Quantizing plane-GRADIENT partial sums to bf16 harms training.
+    # TDGP_SPLAT_TABLE=bf16 stays as a measurement-only knob.
     table = os.environ.get('TDGP_SPLAT_TABLE')
     table_bf16 = (table == 'bf16')
     g_planes = triplane_splat(gp, coords, scale, n3, H, W, interpret=interpret,

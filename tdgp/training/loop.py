@@ -186,7 +186,12 @@ def training_loop(
     best_metric = None
     best_snapshot_path = None
     main_metric = t.metrics[0] if t.metrics else None
-    metrics_disabled = False
+    # re-armable metric-eval containment (round-4 one-way disable was a
+    # silent loss of the whole in-loop FID curve on a 25k-kimg campaign):
+    # a failure skips exponentially more val ticks per consecutive failure
+    # (1, 2, 4, ... capped at 8) and any success re-arms fully
+    metric_fail_streak = 0
+    metric_retry_tick = 0
 
     # stats stay on device between ticks: pulling every scalar every step
     # forces a host round-trip per step (round-1 review weak spot #3); the
@@ -288,24 +293,31 @@ def training_loop(
                                       meta={'batch_idx': batch_idx, 'ada_p': ada_p})
 
         metric_results: Dict[str, float] = {}
-        if (metric_fn is not None and t.metrics and not metrics_disabled
+        if (metric_fn is not None and t.metrics and cur_tick >= metric_retry_tick
                 and (cur_tick % t.val_freq == 0 or done)):
             # failure containment (SURVEY §5.3): the in-loop eval is a big
             # fresh compile — on flaky compile services it can die while
             # the training programs themselves are healthy (the round-4
-            # flagship lost two legs to exactly this). A failed eval warns
-            # and disables further in-loop metrics; FID comes offline from
-            # the (already-saved) snapshots via scripts/calc_metrics.py.
+            # flagship lost two legs to exactly this). A failed eval warns,
+            # records the event in stats.jsonl, and backs off exponentially
+            # (next retry after 2^streak val ticks, capped at 8); a success
+            # re-arms fully. FID is always also available offline from the
+            # (already-saved) snapshots via scripts/calc_metrics.py.
             try:
                 metric_results = metric_fn(state, G, cur_nimg)
                 for name, value in metric_results.items():
                     collector.report(f'Metrics/{name}', value)
+                metric_fail_streak = 0
             except Exception as e:  # noqa: BLE001 — contain, don't die
-                metrics_disabled = True
+                metric_fail_streak += 1
+                skip = min(2 ** metric_fail_streak, 8)
+                metric_retry_tick = cur_tick + skip * t.val_freq
+                collector.report('Metrics/eval_failed', 1.0)
                 if verbose:
                     print(f'WARNING: in-loop metric eval failed ({type(e).__name__}: '
-                          f'{str(e)[:200]}); disabling in-loop metrics for this '
-                          f'run — compute offline via scripts/calc_metrics.py')
+                          f'{str(e)[:200]}); streak {metric_fail_streak}, retrying '
+                          f'at tick {metric_retry_tick} — offline fallback: '
+                          f'scripts/calc_metrics.py')
 
         if path is not None:
             # best-checkpoint retention (ref training_loop.py:473-497)
@@ -313,7 +325,7 @@ def training_loop(
                 value = metric_results[main_metric]
                 if best_metric is None or value < best_metric:
                     if best_snapshot_path and best_snapshot_path != path:
-                        prev_kimg = int(os.path.basename(best_snapshot_path).split('-')[-1])
+                        prev_kimg = ckpt.snapshot_kimg(best_snapshot_path)
                         if prev_kimg % (t.snap * t.tick_kimg) != 0:
                             if is_main:
                                 ckpt.delete_snapshot(best_snapshot_path)

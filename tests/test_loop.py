@@ -48,6 +48,41 @@ def test_training_loop_runs_and_checkpoints(tmp_path):
     assert int(np.asarray(state2.step)) >= 1
 
 
+def test_metric_failure_containment_rearms(tmp_path):
+    """A failed in-loop eval must not silence metrics for the rest of the
+    run (the round-4 one-way disable): the loop backs off 2^streak val
+    ticks, records the event in stats.jsonl, and a later success re-arms.
+    Counterpart of the reference's in-loop eval (training_loop.py:461-471),
+    hardened for flaky compile services."""
+    cfg = loop_cfg()
+    cfg = dataclasses.replace(cfg, training=dataclasses.replace(
+        cfg.training, val_freq=1, metrics=('probe',)))
+    run_dir = str(tmp_path / 'run')
+    calls = []
+
+    def metric_fn(state, G, cur_nimg):
+        calls.append(cur_nimg)
+        if len(calls) == 1:
+            raise RuntimeError('simulated eval compile crash')
+        return {'probe': 1.0 / len(calls)}
+
+    # 5 ticks: fail@tick1 -> skip tick2 (backoff 2^1) -> succeed@tick3+
+    training_loop(cfg, run_dir, max_kimg=0.020, verbose=False,
+                  metric_fn=metric_fn)
+    lines = [json.loads(l) for l in open(os.path.join(run_dir, 'stats.jsonl'))]
+
+    def get(line, key):
+        v = line.get(key)
+        return v['mean'] if isinstance(v, dict) else v
+
+    # the failure event landed in stats.jsonl (not just stdout)
+    assert get(lines[0], 'Metrics/eval_failed') == 1.0
+    # the eval resumed: a real metric value appears at a later tick
+    assert any(get(l, 'Metrics/probe') is not None for l in lines[1:])
+    # the backoff actually skipped exactly one val tick (5 ticks, 1 skipped)
+    assert len(calls) == 4
+
+
 def test_resume_restores_ada_p_and_batch_idx(tmp_path):
     """The ADA controller state and phase offset ride the snapshot meta —
     a resumed run must not reset p to 0 (ref training_loop.py:217-223)."""
