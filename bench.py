@@ -108,6 +108,9 @@ def run_bench(batch_size: int, batch_gpu=None):
     if os.environ.get('TDGP_GMAIN_BF16'):  # bf16 differentiated Gmain render
         cfg = dataclasses.replace(
             cfg, training=dataclasses.replace(cfg.training, gmain_render_bf16=True))
+    if os.environ.get('TDGP_R1_REMAT'):  # remat R1's inner D forward
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, r1_remat=True))
     state, G, D = create_train_state(cfg, seed=0, local_batch=batch_size)
     # donate: each state object is passed to exactly one step call below
     # (always reassigned); frees a params+EMA+opt copy of HBM during the step

@@ -290,6 +290,11 @@ class LossConfig:
     adv_loss_type: str = 'non_saturating'  # | 'hinge'
     r1_gamma: float = 0.05
     r1_interval: int = 16
+    # remat the D forward inside R1's inner grad: numerics-neutral, trades
+    # a replayed D forward (R1 runs every r1_interval steps, so amortized
+    # ~0) for the grad-of-grad liveness that is the v5e-16GB batch ceiling
+    # (b24/b32 OOM at the step_r1 warmup, DESIGN.md battery9)
+    r1_remat: bool = False
     pl_weight: float = 0.0
     pl_start_kimg: int = 0
     pl_batch_shrink: int = 2

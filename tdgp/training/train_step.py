@@ -570,7 +570,13 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
                         augment_fn=augment_fn, rng=ka)
                     return jnp.sum(logits)
 
-                r1_grads = jax.grad(logits_of_img)(md['real'])
+                # r1_remat: recompute the D forward in the double-backward
+                # instead of keeping its activations live — the grad-of-grad
+                # liveness is what OOMs b24/b32 (battery9); R1 runs every
+                # r1_interval steps so the replay cost amortizes to ~0
+                inner = (jax.checkpoint(logits_of_img) if cfg.loss.r1_remat
+                         else logits_of_img)
+                r1_grads = jax.grad(inner)(md['real'])
                 penalty = jnp.sum(jnp.square(r1_grads), axis=(1, 2, 3))
                 loss = jnp.mean(penalty) * (cfg.loss.r1_gamma / 2) * gain
                 return loss, jnp.mean(penalty)

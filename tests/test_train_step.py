@@ -82,6 +82,89 @@ def test_multichip_mesh_step(state_and_models):
     assert np.all(np.isfinite(np.asarray(p)))
 
 
+def test_r1_remat_numerics_neutral(state_and_models):
+    """loss.r1_remat (jax.checkpoint on R1's inner D forward) must be a pure
+    memory/time trade: same params out, bit-for-bit-close. It exists to drop
+    the grad-of-grad liveness that is the v5e b24/b32 OOM (battery9)."""
+    import dataclasses
+
+    state, G, D = state_and_models
+    cfg_rm = dataclasses.replace(
+        CFG, loss=dataclasses.replace(CFG.loss, r1_remat=True))
+    batch = make_batch(jax.random.PRNGKey(0), 4)
+    sched = compute_schedules(CFG, cur_nimg=0)
+    _, step_r1_a = make_jitted_train_steps(CFG, G, D)
+    _, step_r1_b = make_jitted_train_steps(cfg_rm, G, D)
+    # the steps donate their state arg — give each its own copy
+    sa, stats_a = step_r1_a(jax.tree.map(jnp.copy, state), batch,
+                            jax.random.PRNGKey(1), sched)
+    sb, stats_b = step_r1_b(jax.tree.map(jnp.copy, state), batch,
+                            jax.random.PRNGKey(1), sched)
+    np.testing.assert_allclose(float(stats_a['Loss/D/r1_penalty']),
+                               float(stats_b['Loss/D/r1_penalty']),
+                               rtol=1e-5)
+    for pa, pb in zip(jax.tree.leaves(sa.d_params), jax.tree.leaves(sb.d_params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_step_collective_budget(state_and_models):
+    """Throughput-shape check for the DP mesh (SURVEY §2.3): the compiled
+    8-device sharded step must move grads over ICI as all-reduces whose
+    total bytes are within the analytic budget (grad trees pmean'd per
+    phase: Gmain + PL + Dmain for the plain step), and must not introduce
+    surprise all-to-alls or collective-permutes — batch-parallel 3DGP
+    needs none (rays are embarrassingly parallel; replication is a
+    sharding property). Counterpart of the reference's flat-tensor
+    all_reduce (training_loop.py:335-344), which has no shape check at all."""
+    import re
+
+    state, G, D = state_and_models
+    devices = jax.devices()
+    assert len(devices) == 8, "conftest must provide 8 virtual CPU devices"
+    mesh = jax.sharding.Mesh(np.asarray(devices), ('data',))
+    step_plain, _ = make_jitted_train_steps(CFG, G, D, mesh=mesh)
+    batch = make_batch(jax.random.PRNGKey(0), 16)
+    sched = compute_schedules(CFG, cur_nimg=0)
+    hlo = step_plain.lower(state, batch, jax.random.PRNGKey(1), sched
+                           ).compile().as_text()
+
+    # forbidden collectives for a pure-DP step
+    assert 'all-to-all' not in hlo, 'unexpected all-to-all in DP step'
+    assert 'collective-permute' not in hlo, 'unexpected collective-permute'
+
+    # sum all-reduced bytes from the result shapes (handles tuple results)
+    dtb = {'f32': 4, 'bf16': 2, 'f16': 2, 's32': 4, 'u32': 4, 'f64': 8,
+           'pred': 1, 's8': 1, 'u8': 1}
+    total = 0
+    n_ar = 0
+    for line in hlo.splitlines():
+        if ('all-reduce(' not in line and 'all-reduce-start(' not in line) \
+                or '=' not in line:
+            continue
+        result_ty = line.split('=', 1)[1].split('all-reduce')[0]
+        n_ar += 1
+        for dt, dims in re.findall(r'(\w+)\[([\d,]*)\]', result_ty):
+            if dt not in dtb:
+                continue
+            n = 1
+            for d in dims.split(','):
+                if d:
+                    n *= int(d)
+            total += n * dtb[dt]
+    assert n_ar >= 1, 'no all-reduce in the sharded step HLO'
+
+    # analytic budget: the plain step pmeans g_grads + pl_grads + d_grads
+    # (each a full param-tree of f32) + O(100) scalar stats. all-reduce-
+    # start/done pairs and in-place fusions can at most double the count.
+    def tree_bytes(t):
+        return sum(x.size * 4 for x in jax.tree.leaves(t))
+
+    budget = 2 * tree_bytes(state.g_params) + tree_bytes(state.d_params)
+    assert total >= 0.5 * budget, (total, budget)
+    assert total <= 3.0 * budget + 1_000_000, (total, budget)
+
+
 def test_schedules_values():
     s0 = compute_schedules(CFG, cur_nimg=0)
     assert float(s0.blur_sigma) == CFG.loss.blur_init_sigma
