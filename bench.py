@@ -111,6 +111,10 @@ def run_bench(batch_size: int, batch_gpu=None):
     if os.environ.get('TDGP_R1_REMAT'):  # remat R1's inner D forward
         cfg = dataclasses.replace(
             cfg, loss=dataclasses.replace(cfg.loss, r1_remat=True))
+    if os.environ.get('TDGP_MERGED_SPLAT'):  # merged coarse+fine bwd splat
+        cfg = dataclasses.replace(
+            cfg, generator=dataclasses.replace(cfg.generator,
+                                               merged_splat=True))
     state, G, D = create_train_state(cfg, seed=0, local_batch=batch_size)
     # donate: each state object is passed to exactly one step call below
     # (always reassigned); frees a params+EMA+opt copy of HBM during the step

@@ -111,6 +111,55 @@ def main():
     assert relc < 0.05, f'coord-grad rel err {relc}'
     print(f'hoisted quad_bf16 VJP parity OK (plane rel={rel:.2e}, '
           f'coord rel={relc:.2e})', flush=True)
+
+    # --- 4. merged pair splat: the ALIASED init_table accumulation --------
+    # (interpret mode adds two tables instead; only hardware runs the
+    # second _splat_table call on top of the first's aliased output, and
+    # only hardware skips the in-kernel zeroing with live prior content).
+    # Sparse coords1 + dense coords2 exercise windows visited by one set,
+    # the other, both, and neither.
+    from tdgp.ops.splat import triplane_splat_pair
+    g2 = jax.random.normal(k1, (n * 3, p, f), jnp.float32)
+    merged = jax.jit(lambda a, b, c_, d: triplane_splat_pair(
+        a, b, c_, d, scale, n * 3, h, w))(g_pts, coords, g2, coords_d)
+    ref_m = ref + np.asarray(triplane_splat_ref(g2, coords_d, scale,
+                                                n * 3, h, w))
+    np.testing.assert_allclose(np.asarray(merged), ref_m,
+                               rtol=1e-4, atol=1e-4)
+    print('merged pair splat (aliased init_table) parity OK', flush=True)
+
+    # and through the production pair ops (token channel) vs two hoisted
+    from tdgp.ops.splat import (triplane_sample_pair_first,
+                                triplane_sample_pair_second)
+
+    def loss_pair(pl_, c1, c2):
+        table_ = jax.lax.stop_gradient(build_sample_table(pl_, pack))
+        f1, token = triplane_sample_pair_first(pl_, table_, c1, c2.shape[1],
+                                               scale, shape, pack, False,
+                                               'bf16')
+        f2 = triplane_sample_pair_second(table_, c2, token, scale, shape,
+                                         pack, False, 'bf16')
+        return jnp.sum(jnp.tanh(f1) ** 2) + jnp.sum(jnp.tanh(2.0 * f2))
+
+    def loss_two(pl_, c1, c2):
+        table_ = jax.lax.stop_gradient(build_sample_table(pl_, pack))
+        f1 = triplane_sample_hoisted(pl_, table_, c1, scale, shape, pack,
+                                     False, 'bf16')
+        f2 = triplane_sample_hoisted(pl_, table_, c2, scale, shape, pack,
+                                     False, 'bf16')
+        return jnp.sum(jnp.tanh(f1) ** 2) + jnp.sum(jnp.tanh(2.0 * f2))
+
+    gp_p, gc1_p, gc2_p = jax.jit(jax.grad(loss_pair, argnums=(0, 1, 2)))(
+        planes, coords, coords_d)
+    gp_t, gc1_t, gc2_t = jax.jit(jax.grad(loss_two, argnums=(0, 1, 2)))(
+        planes, coords, coords_d)
+    for a, b, name, tol in ((gp_p, gp_t, 'planes', 1e-3),
+                            (gc1_p, gc1_t, 'coords1', 1e-4),
+                            (gc2_p, gc2_t, 'coords2', 1e-4)):
+        a, b = np.asarray(a), np.asarray(b)
+        r = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+        assert r < tol, f'pair-op {name} rel err {r}'
+    print('pair sample ops (token channel) parity OK', flush=True)
     print('ONCHIP SPLAT PARITY: ALL OK', flush=True)
     return 0
 

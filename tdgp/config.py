@@ -249,6 +249,14 @@ class GeneratorConfig:
     # saved SG2 activations for skipping one decoder replay per backward —
     # only viable at small batch after the bf16 diet (measure on-chip).
     decoder_remat: bool = True
+    # merge the coarse+fine backward splats into ONE window table + ONE
+    # unfold (ops/splat.py triplane_sample_pair_*: the fine pass's
+    # cotangent rides a token back to the coarse op's backward). A pure
+    # reassociation of the same fp32 sums — no precision change — saving
+    # a zero-table init, a family-add and an unfold per differentiated
+    # render. Requires the fused path with packing and a 'save' sample
+    # mode; default off until measured on-chip (bench: TDGP_MERGED_SPLAT)
+    merged_splat: bool = False
 
 
 @dataclass(frozen=True)

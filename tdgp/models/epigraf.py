@@ -291,7 +291,44 @@ class SynthesisNetwork(nn.Module):
         def _cast(feats):
             return feats.astype(feat_dtype) if feat_dtype is not None else feats
 
-        if save_mode in ('save_bf16', 'save_f32'):
+        # merged coarse+fine backward splat (GeneratorConfig.merged_splat):
+        # the coarse sample op emits a token, the fine op consumes it, and
+        # BOTH passes' plane gradients accumulate into one window table in
+        # the coarse op's backward (ops/splat.py triplane_sample_pair_*).
+        # Needs the hoisted-table path (fused + packing) and a 'save'
+        # sample mode (the token must not cross a remat boundary).
+        token_aware = (c.merged_splat
+                       and impl in ('fused', 'fused_interpret')
+                       and c.plane_pack != 'none'
+                       and save_mode in ('save_bf16', 'save_f32')
+                       and opts.num_fine_steps > 0)
+        if token_aware:
+            from tdgp.ops.splat import (triplane_sample_pair_first,
+                                        triplane_sample_pair_second)
+
+            def _mlp_only(mlp, feats):
+                return mlp(feats)
+
+            _mlp_remat = nn.remat(_mlp_only)
+            n_coarse, n_fine = opts.num_proposal_steps, opts.num_fine_steps
+
+            def run_model(coords, token=None):
+                planes_, table_ = operand
+                if token is None:
+                    p_fine = (coords.shape[1] // n_coarse) * n_fine
+                    feats, tok = triplane_sample_pair_first(
+                        planes_, table_, coords, p_fine, c.camera.cube_scale,
+                        pshape, c.plane_pack, impl == 'fused_interpret',
+                        residual_dtype)
+                else:
+                    feats = triplane_sample_pair_second(
+                        table_, coords, token, c.camera.cube_scale, pshape,
+                        c.plane_pack, impl == 'fused_interpret',
+                        residual_dtype)
+                    tok = None
+                rgb, sigma = _mlp_remat(self.tri_plane_mlp, _cast(feats))
+                return rgb, sigma, tok
+        elif save_mode in ('save_bf16', 'save_f32'):
             def _mlp_only(mlp, feats):
                 return mlp(feats)
 
@@ -324,7 +361,8 @@ class SynthesisNetwork(nn.Module):
                 o, d = args
                 rgb, depth, wt, ft = importance_render(run_model, o, d, key, opts,
                                                        density_noise=noise_std,
-                                                       jitter=jitter)
+                                                       jitter=jitter,
+                                                       token_aware=token_aware)
                 return rgb, depth
             rgb, depth = jax.lax.map(chunk_fn, (ro, rd))
             rgb = rgb.transpose(1, 0, 2, 3).reshape(n, h * w, -1)
@@ -332,7 +370,8 @@ class SynthesisNetwork(nn.Module):
         else:
             rgb, depth, _wt, _ft = importance_render(run_model, ray_o, ray_d, key, opts,
                                                      density_noise=noise_std,
-                                                     jitter=jitter)
+                                                     jitter=jitter,
+                                                     token_aware=token_aware)
 
         img = rgb.reshape(n, h, w, c.img_channels)
         depth = depth.reshape(n, h, w, 1)

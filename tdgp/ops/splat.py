@@ -175,7 +175,7 @@ def _window_meta_wide(y0i: jnp.ndarray, ws: Tuple[jnp.ndarray, ...], H: int,
 def _splat_kernel(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
                   oh_top_ref, oh_bot_ref, key_sc_ref, acc_ref,
                   *, F: int, W: int, mxu_bf16: bool, entry_bf16: bool,
-                  table_bf16: bool):
+                  table_bf16: bool, zero_windows: bool = True):
     j = pl.program_id(0)
     w_id = key_ref[j]
     # meta packs (item_chunk << _META_FLAG_BITS | flags): 6 SMEM-prefetched
@@ -196,9 +196,13 @@ def _splat_kernel(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
     # write lands before the block index moves on.
     tgt = acc_ref if table_bf16 else out_ref
 
-    @pl.when(is_first)
-    def _():
-        tgt[:] = jnp.zeros_like(tgt)
+    # zero_windows=False: the aliased table input carries a prior entry
+    # set's accumulation (merged coarse+fine backward) — fetched blocks
+    # must be added to, never reset
+    if zero_windows:
+        @pl.when(is_first)
+        def _():
+            tgt[:] = jnp.zeros_like(tgt)
 
     # per-CHUNK one-hot build, hoisted into VMEM scratch: a chunk's entries
     # span several window runs, and rebuilding the [K, W] weighted one-hots
@@ -278,7 +282,8 @@ def _splat_kernel(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
 def _splat_kernel_wide(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
                        oh_ref, key_sc_ref, acc_ref,
                        *, F: int, W: int, wrows: int, mxu_bf16: bool,
-                       entry_bf16: bool, table_bf16: bool):
+                       entry_bf16: bool, table_bf16: bool,
+                       zero_windows: bool = True):
     """wrows-row window variant: one [K, wrows*W] one-hot, one MXU matmul.
 
     Each entry's four bilinear weights land at flat columns
@@ -298,9 +303,10 @@ def _splat_kernel_wide(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
     acc_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
     tgt = acc_ref if table_bf16 else out_ref
 
-    @pl.when(is_first)
-    def _():
-        tgt[:] = jnp.zeros_like(tgt)
+    if zero_windows:
+        @pl.when(is_first)
+        def _():
+            tgt[:] = jnp.zeros_like(tgt)
 
     @pl.when(is_cfirst & is_live)
     def _():
@@ -361,7 +367,8 @@ def _splat_kernel_wide(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
 def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
                  n_windows: int, F: int, W: int, interpret: bool,
                  mxu_bf16: bool = False, entry_bf16: bool = False,
-                 table_bf16: bool = False, wrows: int = 2) -> jnp.ndarray:
+                 table_bf16: bool = False, wrows: int = 2,
+                 init_table: jnp.ndarray = None) -> jnp.ndarray:
     """Run the worklist kernel. packed_sorted: [Epad, F+6] sorted by key.
 
     Returns the window table [n_windows + 1, F, 2W] (last row = scratch
@@ -373,6 +380,12 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
     first worklist item (the write-back of a visited block always overwrites
     the aliased contents). Interpret mode does not honor the aliasing, so
     there the caller adds one zero-weight coverage entry per window.
+
+    init_table: accumulate ON TOP of an existing table instead of zeroing —
+    the aliased input carries it and in-kernel zeroing is disabled, so a
+    second entry set (e.g. the fine pass of a merged coarse+fine backward)
+    lands in the same table and the unfold runs once. Compiled path only
+    (interpret does not honor aliasing; callers add tables instead).
     """
     epad = packed_sorted.shape[0]
     k = _CHUNK
@@ -413,10 +426,17 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
     acc_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
     out_dtype = jnp.bfloat16 if table_bf16 else jnp.float32
     wc = wrows * W if wrows != 2 else 2 * W   # window block columns
-    zero_table = jnp.zeros((n_windows + 1, F, wc), out_dtype)
+    zero_windows = init_table is None
+    if zero_windows:
+        init_table = jnp.zeros((n_windows + 1, F, wc), out_dtype)
+    else:
+        assert not table_bf16, 'init_table accumulation requires f32 tables'
+        assert not interpret, 'init_table accumulation is compiled-path only'
+        assert init_table.shape == (n_windows + 1, F, wc), init_table.shape
     if wrows == 2:
         kernel = functools.partial(_splat_kernel, F=F, W=W, mxu_bf16=mxu_bf16,
-                                   entry_bf16=entry_bf16, table_bf16=table_bf16)
+                                   entry_bf16=entry_bf16, table_bf16=table_bf16,
+                                   zero_windows=zero_windows)
         scratch = [
             pltpu.VMEM((k, W), acc_dtype),      # per-chunk one-hot, top row
             pltpu.VMEM((k, W), acc_dtype),      # per-chunk one-hot, bottom row
@@ -426,7 +446,8 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
     else:
         kernel = functools.partial(_splat_kernel_wide, F=F, W=W, wrows=wrows,
                                    mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
-                                   table_bf16=table_bf16)
+                                   table_bf16=table_bf16,
+                                   zero_windows=zero_windows)
         scratch = [
             pltpu.VMEM((k, wc), acc_dtype),     # per-chunk one-hot, all rows
             pltpu.VMEM((k, 1), jnp.float32),    # per-entry window keys
@@ -452,34 +473,16 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((n_windows + 1, F, wc), out_dtype),
         input_output_aliases={3: 0},
         interpret=interpret,
-    )(meta, item_key, packed_sorted, zero_table)
+    )(meta, item_key, packed_sorted, init_table)
 
 
-def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
-                   n3: int, H: int, W: int, interpret: bool = False,
-                   mxu_bf16: bool = False, entry_bf16: bool = False,
-                   table_bf16: bool = False, wrows: int = None) -> jnp.ndarray:
-    """Adjoint of the tri-plane bilinear gather.
+def _prep_entries(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
+                  n3: int, H: int, W: int, interpret: bool,
+                  entry_bf16: bool, wrows: int):
+    """Pack one entry per (plane, point), pad to chunk multiple, key-sort.
 
-    g_pts:  [N3, P, F] cotangent rows per (plane, point)
-    coords: [N, P, 3] world coordinates
-    mxu_bf16: run the kernel's one-hot accumulation matmuls in bf16 (fp32
-    accumulate) — single MXU pass instead of HIGHEST's 6-pass fp32 emulation.
-    entry_bf16: pack the sorted entry rows in bf16 ([E, F+8] instead of
-    [E, F+6] f32). The row-take of the sorted entries is the largest prep
-    stage (132 ms/pass, profile_splat_prep.py) and the physical row is
-    lane-padded to 128 either way, so bf16 halves the bytes it moves.
-    Integer meta (window key, x0) is split into two exact-in-bf16 byte lanes.
-    table_bf16: store the window table in bf16 (fp32 VMEM run accumulator,
-    one bf16 HBM write per window) — halves the kernel's table write and the
-    unfold's read; rounds each plane-grad texel once.
-    wrows: texel rows per window (default TDGP_SPLAT_WROWS; see _WROWS).
-    Returns g_planes [N3, H, W, F].
+    Returns (packed_sorted [Epad, lanes], keys_sorted [Epad], n_windows).
     """
-    if wrows is None:
-        wrows = _WROWS
-    assert wrows >= 2 and wrows % 2 == 0 and H % wrows == 0, (H, wrows)
-    assert W % 128 == 0, W
     _, P, F = g_pts.shape
     gx, gy = _pixel_coords(coords, scale, H, W)
     x0i, y0i, _tx, _ty, _ms, ws = _corner_meta(gx, gy, H, W)
@@ -552,11 +555,13 @@ def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
                        + packed_sorted[:, F + 1].astype(f32)).astype(jnp.int32)
     else:
         keys_sorted = packed_sorted[:, F].astype(jnp.int32)
+    return packed_sorted, keys_sorted, n_windows
 
-    table = _splat_table(packed_sorted, keys_sorted, n_windows, F, W, interpret,
-                         mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
-                         table_bf16=table_bf16, wrows=wrows)
 
+def _unfold_table(table: jnp.ndarray, n3: int, H: int, W: int, F: int,
+                  n_windows: int, wrows: int) -> jnp.ndarray:
+    """Window table [nw+1, F, wrows*W] -> plane cotangent [N3, H, W, F]."""
+    nw_pp = H // wrows
     nwa = n3 * nw_pp
     half = wrows // 2
     A = table[:nwa].reshape(n3, nw_pp, F, wrows, W).transpose(0, 1, 3, 4, 2)
@@ -567,6 +572,84 @@ def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
     # one elementwise pass (the previous .at[:, half:].add lowered to a
     # dynamic-update-slice that XLA scheduled as a separate copy)
     return A + jnp.pad(B, ((0, 0), (half, 0), (0, 0), (0, 0)))[:, :H]
+
+
+def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
+                   n3: int, H: int, W: int, interpret: bool = False,
+                   mxu_bf16: bool = False, entry_bf16: bool = False,
+                   table_bf16: bool = False, wrows: int = None) -> jnp.ndarray:
+    """Adjoint of the tri-plane bilinear gather.
+
+    g_pts:  [N3, P, F] cotangent rows per (plane, point)
+    coords: [N, P, 3] world coordinates
+    mxu_bf16: run the kernel's one-hot accumulation matmuls in bf16 (fp32
+    accumulate) — single MXU pass instead of HIGHEST's 6-pass fp32 emulation.
+    entry_bf16: pack the sorted entry rows in bf16 ([E, F+8] instead of
+    [E, F+6] f32). The row-take of the sorted entries is the largest prep
+    stage (132 ms/pass, profile_splat_prep.py) and the physical row is
+    lane-padded to 128 either way, so bf16 halves the bytes it moves.
+    Integer meta (window key, x0) is split into two exact-in-bf16 byte lanes.
+    table_bf16: store the window table in bf16 (fp32 VMEM run accumulator,
+    one bf16 HBM write per window) — halves the kernel's table write and the
+    unfold's read; rounds each plane-grad texel once.
+    wrows: texel rows per window (default TDGP_SPLAT_WROWS; see _WROWS).
+    Returns g_planes [N3, H, W, F].
+    """
+    if wrows is None:
+        wrows = _WROWS
+    assert wrows >= 2 and wrows % 2 == 0 and H % wrows == 0, (H, wrows)
+    assert W % 128 == 0, W
+    F = g_pts.shape[-1]
+    packed_sorted, keys_sorted, n_windows = _prep_entries(
+        g_pts, coords, scale, n3, H, W, interpret, entry_bf16, wrows)
+    table = _splat_table(packed_sorted, keys_sorted, n_windows, F, W, interpret,
+                         mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
+                         table_bf16=table_bf16, wrows=wrows)
+    return _unfold_table(table, n3, H, W, F, n_windows, wrows)
+
+
+def triplane_splat_pair(g_pts1: jnp.ndarray, coords1: jnp.ndarray,
+                        g_pts2: jnp.ndarray, coords2: jnp.ndarray,
+                        scale: float, n3: int, H: int, W: int,
+                        interpret: bool = False, mxu_bf16: bool = False,
+                        entry_bf16: bool = False,
+                        wrows: int = None) -> jnp.ndarray:
+    """Merged adjoint for TWO entry sets splatting into the SAME planes.
+
+    == triplane_splat(g1, c1) + triplane_splat(g2, c2), computed with ONE
+    window table: the second accumulate aliases the first's output with
+    in-kernel zeroing disabled (_splat_table init_table), so the unfold,
+    the zero-table init, and the final family add run once instead of
+    twice. This is the merged coarse+fine BACKWARD the round-4 re-cost
+    could not get by merging the forward gathers (the fine sample
+    positions depend on the coarse pass's output, so one differentiable
+    forward gather needs a stop-grad pre-pass — but the backward entry
+    sets are both known once both cotangents exist; see
+    triplane_sample_pair_* for how the fine cotangents reach this call).
+    Interpret mode (no aliasing support) computes two tables and adds.
+    """
+    if wrows is None:
+        wrows = _WROWS
+    assert wrows >= 2 and wrows % 2 == 0 and H % wrows == 0, (H, wrows)
+    assert W % 128 == 0, W
+    F = g_pts1.shape[-1]
+    ps1, ks1, n_windows = _prep_entries(
+        g_pts1, coords1, scale, n3, H, W, interpret, entry_bf16, wrows)
+    table = _splat_table(ps1, ks1, n_windows, F, W, interpret,
+                         mxu_bf16=mxu_bf16, entry_bf16=entry_bf16, wrows=wrows)
+    ps2, ks2, n_windows2 = _prep_entries(
+        g_pts2, coords2, scale, n3, H, W, interpret, entry_bf16, wrows)
+    assert n_windows2 == n_windows
+    if interpret:
+        table2 = _splat_table(ps2, ks2, n_windows, F, W, interpret,
+                              mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
+                              wrows=wrows)
+        table = table + table2
+    else:
+        table = _splat_table(ps2, ks2, n_windows, F, W, interpret,
+                             mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
+                             wrows=wrows, init_table=table)
+    return _unfold_table(table, n3, H, W, F, n_windows, wrows)
 
 
 def triplane_splat_ref(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
@@ -759,18 +842,21 @@ def _sample_fwd(planes_flat, coords, scale, interpret, pack):
     return out, (vals4, coords, planes_flat.shape, proto)
 
 
-def _sample_bwd(scale, interpret, pack, res, g):
-    vals4, coords, (n3, H, W, F), planes_proto = res
+def _broadcast_cotangent(g, n3, P, F):
+    """Output cotangent [N, P, F] -> per-(plane, point) rows [N3, P, F] f32
+    (mean over 3 planes -> /3)."""
+    n = n3 // 3
+    gp = jnp.broadcast_to((g / 3.0)[:, None], (n, 3, P, F)).reshape(n3, P, F)
+    return gp.astype(jnp.float32)
+
+
+def _coords_grad(vals4, coords, gp, scale, H, W, n3):
+    """d/d coords from the saved corner values [N3, P, 4, F] (elementwise).
+    gp: broadcast cotangent rows [N3, P, F] f32."""
     n = n3 // 3
     P = coords.shape[1]
     gx, gy = _pixel_coords(coords, scale, H, W)
     _x0i, _y0i, tx, ty, ms, _ws = _corner_meta(gx, gy, H, W)
-
-    # cotangent per (plane, point) row: mean over 3 planes -> /3
-    gp = jnp.broadcast_to((g / 3.0)[:, None], (n, 3, P, F)).reshape(n3, P, F)
-    gp = gp.astype(jnp.float32)
-
-    # --- d/d coords (elementwise over the saved corner values [N3, P, 4, F])
     m00, m01, m10, m11 = ms
     v00, v01, v10, v11 = (vals4[:, :, 0], vals4[:, :, 1],
                           vals4[:, :, 2], vals4[:, :, 3])
@@ -786,29 +872,39 @@ def _sample_bwd(scale, interpret, pack, res, g):
     dgy = dty * (0.5 * (H - 1) / scale)
     dgx = dgx.reshape(n, 3, P)
     dgy = dgy.reshape(n, 3, P)
-    g_coords = jnp.stack([
+    return jnp.stack([
         dgx[:, 0] + dgx[:, 1],          # x: plane xy + plane xz
         dgy[:, 0] + dgx[:, 2],          # y: plane xy + plane yz
         dgy[:, 1] + dgy[:, 2],          # z: plane xz + plane yz
     ], axis=-1).astype(coords.dtype)    # [N, P, 3]
 
-    # --- d/d planes via the Pallas splat. Kernel precision follows the pack
-    # mode: bf16 tables already round the forward features to bf16, so the
-    # plane-gradient per-entry products (mxu_bf16) and packed entry rows
-    # (entry_bf16) rounding the same way is a consistent precision point
-    # (accumulation across entries stays fp32 either way).
-    # TDGP_SPLAT_MXU / TDGP_SPLAT_ENTRY = {bf16,f32} override for measurement.
+
+def _splat_flags(pack: str):
+    """Kernel precision follows the pack mode: bf16 tables already round
+    the forward features to bf16, so the plane-gradient per-entry products
+    (mxu_bf16) and packed entry rows (entry_bf16) rounding the same way is
+    a consistent precision point (accumulation across entries stays fp32).
+    TDGP_SPLAT_MXU / TDGP_SPLAT_ENTRY = {bf16,f32} override for measurement.
+    table_bf16 is REJECTED as a default: its 60-kimg dynamics A/B diverged
+    (+27.5% mean FID-proxy gap — DESIGN.md round-5 ledger); quantizing
+    plane-GRADIENT partial sums to bf16 harms training.
+    TDGP_SPLAT_TABLE=bf16 stays as a measurement-only knob."""
     is_bf16_pack = pack.endswith('_bf16')
     mxu = os.environ.get('TDGP_SPLAT_MXU')
     mxu_bf16 = is_bf16_pack if mxu is None else (mxu == 'bf16')
     entry = os.environ.get('TDGP_SPLAT_ENTRY')
     entry_bf16 = is_bf16_pack if entry is None else (entry == 'bf16')
-    # table_bf16 is REJECTED as a default: its 60-kimg dynamics A/B diverged
-    # (+27.5% mean FID-proxy gap, hard late divergence — DESIGN.md round-5
-    # ledger). Quantizing plane-GRADIENT partial sums to bf16 harms training.
-    # TDGP_SPLAT_TABLE=bf16 stays as a measurement-only knob.
-    table = os.environ.get('TDGP_SPLAT_TABLE')
-    table_bf16 = (table == 'bf16')
+    table_bf16 = (os.environ.get('TDGP_SPLAT_TABLE') == 'bf16')
+    return mxu_bf16, entry_bf16, table_bf16
+
+
+def _sample_bwd(scale, interpret, pack, res, g):
+    vals4, coords, (n3, H, W, F), planes_proto = res
+    P = coords.shape[1]
+    gp = _broadcast_cotangent(g, n3, P, F)
+    g_coords = _coords_grad(vals4, coords, gp, scale, H, W, n3)
+    # --- d/d planes via the Pallas splat
+    mxu_bf16, entry_bf16, table_bf16 = _splat_flags(pack)
     g_planes = triplane_splat(gp, coords, scale, n3, H, W, interpret=interpret,
                               mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
                               table_bf16=table_bf16)
@@ -966,3 +1062,134 @@ def _hoisted_bwd(scale, shape, pack, interpret, residual_dtype, res, g):
 
 
 triplane_sample_hoisted.defvjp(_hoisted_fwd, _hoisted_bwd)
+
+
+# --------------------- paired sample (merged coarse+fine backward splat)
+#
+# The renderer samples the planes twice per pass (coarse then fine), and the
+# fine sample positions depend on the coarse output — so the two FORWARD
+# gathers cannot fuse into one op (round-4 re-cost: a merged differentiable
+# gather needs a stop-grad coarse pre-pass that costs more than the merge
+# saves). The BACKWARD splats can merge anyway: both cotangent entry sets
+# exist by the time the coarse op's bwd runs (reverse-mode runs the fine
+# op's bwd first). The fine op smuggles its cotangent rows + coords to the
+# coarse op through the cotangent of a zero "token" the coarse op emits and
+# the fine op consumes — a data dependency that (a) orders the ops, and
+# (b) gives autodiff a channel that flows fine-bwd -> coarse-bwd. The
+# coarse bwd then runs triplane_splat_pair: ONE window table (the second
+# accumulate aliases the first), ONE unfold, ONE zero-init instead of two.
+#
+# Token layout: [N, P_fine, F+3] f32 — lanes [0:F] the fine output
+# cotangent, [F:F+3] the fine coords (exact f32; bilinear keys/weights are
+# recomputed from them in the pair splat). A zero token cotangent (fine
+# output unused by the loss) splats zero-value entries at coord 0 — valid
+# and harmless.
+
+def token_shape(n: int, p_fine: int, F: int) -> Tuple[int, int, int]:
+    return (n, p_fine, F + 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def triplane_sample_pair_first(planes_flat: jnp.ndarray, table: jnp.ndarray,
+                               coords: jnp.ndarray, p_fine: int, scale: float,
+                               shape: Tuple[int, int, int, int],
+                               pack: str = 'pair', interpret: bool = False,
+                               residual_dtype: str = 'table'):
+    """Coarse-pass sample op of the merged-backward pair.
+
+    Returns (feats [N, P, F] f32, token [N, p_fine, F+3] f32 zeros). Pass
+    the token into triplane_sample_pair_second for the fine pass of the
+    SAME planes/table. The plane cotangent this op returns is the SUM of
+    both passes' splats, computed with one window table."""
+    n3, _, _, F = shape
+    n = n3 // 3
+    P = coords.shape[1]
+    feats, _ = _gather_packed(table, coords, scale, shape, pack)
+    out = jnp.mean(feats.reshape(n, 3, P, F), axis=1).astype(jnp.float32)
+    return out, jnp.zeros(token_shape(n, p_fine, F), jnp.float32)
+
+
+def _pair_first_fwd(planes_flat, table, coords, p_fine, scale, shape, pack,
+                    interpret, residual_dtype):
+    n3, _, _, F = shape
+    n = n3 // 3
+    P = coords.shape[1]
+    feats, vals4 = _gather_packed(table, coords, scale, shape, pack)
+    out = jnp.mean(feats.reshape(n, 3, P, F), axis=1).astype(jnp.float32)
+    if residual_dtype == 'bf16':
+        vals4 = vals4.astype(jnp.bfloat16)
+    token = jnp.zeros(token_shape(n, p_fine, F), jnp.float32)
+    return (out, token), (vals4, coords, jnp.zeros((0,), planes_flat.dtype))
+
+
+def _pair_first_bwd(p_fine, scale, shape, pack, interpret, residual_dtype,
+                    res, cts):
+    g, g_token = cts
+    vals4, coords, planes_proto = res
+    n3, H, W, F = shape
+    P = coords.shape[1]
+    gp_c = _broadcast_cotangent(g, n3, P, F)
+    g_coords = _coords_grad(vals4, coords, gp_c, scale, H, W, n3)
+    # unpack the fine pass from the token cotangent (see module comment)
+    g_fine = g_token[..., :F]                       # [N, p_fine, F]
+    coords_fine = g_token[..., F:F + 3]             # [N, p_fine, 3] exact
+    gp_f = _broadcast_cotangent(g_fine, n3, p_fine, F)
+    mxu_bf16, entry_bf16, _tbl = _splat_flags(pack)
+    g_planes = triplane_splat_pair(gp_c, coords, gp_f, coords_fine,
+                                   scale, n3, H, W, interpret=interpret,
+                                   mxu_bf16=mxu_bf16, entry_bf16=entry_bf16)
+    rows, width, dtype = table_meta(shape, pack)
+    return (g_planes.astype(planes_proto.dtype),
+            jnp.zeros((rows, width), dtype), g_coords)
+
+
+triplane_sample_pair_first.defvjp(_pair_first_fwd, _pair_first_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def triplane_sample_pair_second(table: jnp.ndarray, coords: jnp.ndarray,
+                                token: jnp.ndarray, scale: float,
+                                shape: Tuple[int, int, int, int],
+                                pack: str = 'pair', interpret: bool = False,
+                                residual_dtype: str = 'table') -> jnp.ndarray:
+    """Fine-pass sample op of the merged-backward pair.
+
+    Takes the token emitted by triplane_sample_pair_first; its plane
+    gradient rides the token cotangent back to the first op's backward
+    (this op returns NO plane cotangent of its own — the table input is
+    the stop-grad cache, zero cotangent, as in triplane_sample_hoisted)."""
+    n3, _, _, F = shape
+    n = n3 // 3
+    P = coords.shape[1]
+    feats, _ = _gather_packed(table, coords, scale, shape, pack)
+    return jnp.mean(feats.reshape(n, 3, P, F), axis=1).astype(jnp.float32)
+
+
+def _pair_second_fwd(table, coords, token, scale, shape, pack, interpret,
+                     residual_dtype):
+    n3, _, _, F = shape
+    n = n3 // 3
+    P = coords.shape[1]
+    feats, vals4 = _gather_packed(table, coords, scale, shape, pack)
+    out = jnp.mean(feats.reshape(n, 3, P, F), axis=1).astype(jnp.float32)
+    if residual_dtype == 'bf16':
+        vals4 = vals4.astype(jnp.bfloat16)
+    return out, (vals4, coords)
+
+
+def _pair_second_bwd(scale, shape, pack, interpret, residual_dtype, res, g):
+    vals4, coords = res
+    n3, H, W, F = shape
+    P = coords.shape[1]
+    gp = _broadcast_cotangent(g, n3, P, F)
+    g_coords = _coords_grad(vals4, coords, gp, scale, H, W, n3)
+    # token cotangent = the side-channel payload: raw output cotangent +
+    # the coords this op sampled at (values, not gradients — the pair-first
+    # bwd rebuilds keys/weights from them)
+    g_token = jnp.concatenate(
+        [g.astype(jnp.float32), coords.astype(jnp.float32)], axis=-1)
+    rows, width, dtype = table_meta(shape, pack)
+    return jnp.zeros((rows, width), dtype), g_coords, g_token
+
+
+triplane_sample_pair_second.defvjp(_pair_second_fwd, _pair_second_bwd)

@@ -315,12 +315,17 @@ RunModelFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
 def importance_render(run_model: RunModelFn, ray_origins: jnp.ndarray,
                       ray_directions: jnp.ndarray, key, opts: RenderOptions,
                       density_noise: jnp.ndarray | float = 0.0,
-                      jitter: bool = True):
+                      jitter: bool = True, token_aware: bool = False):
     """Coarse + importance two-pass rendering (ref tri_plane_renderer.py:126-170).
 
     run_model(coords [B, P, 3]) -> (rgb [B, P, C], sigma [B, P]).
     ray_origins/directions: [B, R, 3].
     Returns (rgb [B,R,C], depth [B,R], weights_total [B,R], final_transmittance [B,R]).
+
+    token_aware: run_model instead has the signature
+    (coords, token|None) -> (rgb, sigma, token) and the coarse call's token
+    is threaded into the fine call — the channel the merged coarse+fine
+    backward splat rides (ops/splat.py triplane_sample_pair_*).
     """
     batch, num_rays, _ = ray_origins.shape
     n_coarse = opts.num_proposal_steps
@@ -329,22 +334,28 @@ def importance_render(run_model: RunModelFn, ray_origins: jnp.ndarray,
     def s_to_t(s):
         return s * opts.ray_end + (1.0 - s) * opts.ray_start
 
-    def eval_model(tdist, noise_key):
+    def eval_model(tdist, noise_key, token=None):
         # coords: [B, R, S, 3] -> [B, R*S, 3]
         coords = ray_origins[:, :, None, :] + tdist[..., None] * ray_directions[:, :, None, :]
         s = tdist.shape[-1]
-        rgb, sigma = run_model(coords.reshape(batch, num_rays * s, 3))
+        if token_aware:
+            rgb, sigma, tok = run_model(coords.reshape(batch, num_rays * s, 3),
+                                        token)
+        else:
+            rgb, sigma = run_model(coords.reshape(batch, num_rays * s, 3))
+            tok = None
         if not (isinstance(density_noise, float) and density_noise == 0.0):
             sigma = sigma + jax.random.normal(noise_key, sigma.shape) * density_noise
         c = rgb.shape[-1]
-        return rgb.reshape(batch, num_rays, s, c), sigma.reshape(batch, num_rays, s)
+        return (rgb.reshape(batch, num_rays, s, c),
+                sigma.reshape(batch, num_rays, s), tok)
 
     # Coarse pass (in s-space [0, 1], ref :132-148).
     sdist_coarse = sample_stratified(k_strat, batch, num_rays, n_coarse,
                                      ray_marcher_type=opts.ray_marcher_type,
                                      jitter=jitter)
     tdist_coarse = s_to_t(sdist_coarse)
-    colors_coarse, densities_coarse = eval_model(tdist_coarse, k_noise1)
+    colors_coarse, densities_coarse, tok = eval_model(tdist_coarse, k_noise1)
 
     if opts.num_fine_steps > 0:
         _, _, weights, _ = _march(colors_coarse, densities_coarse, sdist_coarse, opts)
@@ -352,7 +363,7 @@ def importance_render(run_model: RunModelFn, ray_origins: jnp.ndarray,
                                        ray_marcher_type=opts.ray_marcher_type,
                                        det=not jitter)
         tdist_fine = s_to_t(sdist_fine)
-        colors_fine, densities_fine = eval_model(tdist_fine, k_noise2)
+        colors_fine, densities_fine, _ = eval_model(tdist_fine, k_noise2, tok)
 
         # both sample sets are sorted by construction -> sort-free merge
         all_depths, all_colors, all_densities = unify_samples_sorted(

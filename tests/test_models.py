@@ -316,3 +316,40 @@ def test_generator_render_bf16_fused_forward():
     diff = np.abs(np.asarray(img_bf) - np.asarray(img_ref))
     assert np.mean(diff) < 0.05, np.mean(diff)
     assert np.max(diff) < 0.5, np.max(diff)
+
+
+@pytest.mark.parametrize('pack', ['quad', 'quad_bf16'])
+def test_generator_merged_splat_matches_unmerged(pack):
+    """generator.merged_splat merges the coarse+fine backward splats into
+    one window table via the pair ops' token channel (ops/splat.py) — a
+    pure reassociation: loss gradients must match the unmerged fused path."""
+    import dataclasses
+
+    z, c, cam = make_inputs(2)
+    tri = dataclasses.replace(CFG.generator.tri_plane, res=128)
+
+    def g_loss_grads(cfg_gen):
+        g = Generator(cfg_gen)
+        variables = g.init(init_rngs(), z, c, cam, camera_angles_cond=cam.angles,
+                           train=True)
+
+        def loss(params):
+            v = {**variables, 'params': params}
+            img = g.apply(v, z, c, cam, camera_angles_cond=cam.angles,
+                          train=True, rngs=init_rngs(), mutable=['ema'])[0]
+            return jnp.mean(img ** 2)
+
+        return jax.grad(loss)(variables['params'])
+
+    save = 'save_bf16' if pack.endswith('_bf16') else 'save_f32'
+    unmerged = dataclasses.replace(CFG.generator, tri_plane=tri,
+                                   plane_sample_impl='fused_interpret',
+                                   plane_pack=pack, sample_save=save)
+    merged = dataclasses.replace(unmerged, merged_splat=True)
+    g_ref = g_loss_grads(unmerged)
+    g_new = g_loss_grads(merged)
+    flat_r = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g_ref)])
+    flat_n = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g_new)])
+    err = float(jnp.linalg.norm(flat_n - flat_r)
+                / (jnp.linalg.norm(flat_r) + 1e-12))
+    assert err < 5e-5, err

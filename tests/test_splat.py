@@ -431,3 +431,60 @@ def test_bf16_planes_primal_grads(setup):
         num = np.linalg.norm(np.asarray(gc) - np.asarray(gc_r))
         den = np.linalg.norm(np.asarray(gc_r))
         assert num / den < 0.08, (name, num / den)
+
+
+def test_splat_pair_equals_sum_of_splats(setup):
+    """triplane_splat_pair == splat(g1,c1) + splat(g2,c2) (merged
+    coarse+fine backward; interpret path adds two tables, hardware path
+    aliases one — covered by scripts/testing/onchip_splat_parity.py)."""
+    from tdgp.ops.splat import triplane_splat_pair
+    planes, coords, g_pts, scale = setup
+    n3, h, w, f = planes.shape
+    k = jax.random.PRNGKey(11)
+    k1, k2 = jax.random.split(k)
+    coords2 = jax.random.uniform(k1, coords.shape, minval=-0.62, maxval=0.62)
+    g2 = jax.random.normal(k2, g_pts.shape, jnp.float32)
+    merged = jax.jit(lambda a, b, c, d: triplane_splat_pair(
+        a, b, c, d, scale, n3, h, w, interpret=True))(g_pts, coords, g2, coords2)
+    ref = (triplane_splat_ref(g_pts, coords, scale, n3, h, w)
+           + triplane_splat_ref(g2, coords2, scale, n3, h, w))
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('pack', ['quad', 'quad_bf16'])
+def test_pair_sample_ops_match_two_hoisted(setup, pack):
+    """The token-threaded pair ops (coarse emits a token, fine's cotangent
+    rides it back) must produce the same loss gradients as two independent
+    triplane_sample_hoisted calls — the merged backward is a pure
+    reassociation of the same splat sums."""
+    from tdgp.ops.splat import (build_sample_table, triplane_sample_hoisted,
+                                triplane_sample_pair_first,
+                                triplane_sample_pair_second)
+    planes, coords, _, scale = setup
+    n3, h, w, f = planes.shape
+    shape = tuple(planes.shape)
+    k = jax.random.PRNGKey(13)
+    coords2 = jax.random.uniform(k, coords.shape, minval=-0.62, maxval=0.62)
+    p_fine = coords2.shape[1]
+
+    def loss_pair(pl, c1, c2):
+        table = jax.lax.stop_gradient(build_sample_table(pl, pack))
+        f1, token = triplane_sample_pair_first(pl, table, c1, p_fine, scale,
+                                               shape, pack, True)
+        f2 = triplane_sample_pair_second(table, c2, token, scale, shape,
+                                         pack, True)
+        return jnp.sum(jnp.tanh(f1)) + jnp.sum(jnp.tanh(2.0 * f2))
+
+    def loss_two(pl, c1, c2):
+        table = jax.lax.stop_gradient(build_sample_table(pl, pack))
+        f1 = triplane_sample_hoisted(pl, table, c1, scale, shape, pack, True)
+        f2 = triplane_sample_hoisted(pl, table, c2, scale, shape, pack, True)
+        return jnp.sum(jnp.tanh(f1)) + jnp.sum(jnp.tanh(2.0 * f2))
+
+    v1, g1 = jax.value_and_grad(loss_pair, argnums=(0, 1, 2))(planes, coords, coords2)
+    v2, g2 = jax.value_and_grad(loss_two, argnums=(0, 1, 2))(planes, coords, coords2)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, b, name in zip(g1, g2, ('planes', 'coords1', 'coords2')):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
