@@ -633,6 +633,17 @@ def triplane_splat_pair(g_pts1: jnp.ndarray, coords1: jnp.ndarray,
     assert wrows >= 2 and wrows % 2 == 0 and H % wrows == 0, (H, wrows)
     assert W % 128 == 0, W
     F = g_pts1.shape[-1]
+    # 'concat': ONE sort/take/accumulate over the union — halves the
+    # worklist's window-run items (each window visited once, not once per
+    # pass) at the cost of double-size packed/sorted transients (~+3 GB at
+    # b16 256²). 'alias' (default) keeps per-pass transients and merges at
+    # the table. Both are exact; the knob is for on-chip measurement.
+    if os.environ.get('TDGP_SPLAT_PAIR_MODE', 'alias') == 'concat':
+        g = jnp.concatenate([g_pts1, g_pts2], axis=1)
+        cc = jnp.concatenate([coords1, coords2], axis=1)
+        return triplane_splat(g, cc, scale, n3, H, W, interpret=interpret,
+                              mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
+                              wrows=wrows)
     ps1, ks1, n_windows = _prep_entries(
         g_pts1, coords1, scale, n3, H, W, interpret, entry_bf16, wrows)
     table = _splat_table(ps1, ks1, n_windows, F, W, interpret,
