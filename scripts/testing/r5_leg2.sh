@@ -18,9 +18,17 @@ python scripts/infra/export_ema.py --run-dir "$RUN" --snapshot latest \
   --out "$RUN/g_ema_leg1.npz" >> "$LOG" 2>&1
 echo "--- rc=$? $(date -u +%T)" >> "$LOG"
 
-OVR=()
-[ -n "$MERGED" ] && OVR+=("generator.merged_splat=true")
-stamp "FLAGSHIP LEG2 (resume -> ${KIMG2} kimg; overrides: ${OVR[*]:-none})"
+# val_freq 5 -> 15 ticks (every 30 kimg): the 256² in-loop fid2k costs
+# ~800 s per eval (full-image renders) — every-10-kimg tracking was eating
+# ~60% of the training rate; the reference tracks fid2k every 400 kimg
+# (training/base.yaml val_freq=100 x tick 4 kimg), so 30 kimg is still 13x
+# denser than the reference. merged_splat pinned EXPLICITLY to its
+# launch-time value so a later default flip cannot silently change the
+# mid-campaign program (losing the compile-cache hit).
+OVR=("training.val_freq=15")
+if [ -n "$MERGED" ]; then OVR+=("generator.merged_splat=true");
+else OVR+=("generator.merged_splat=false"); fi
+stamp "FLAGSHIP LEG2 (resume -> ${KIMG2} kimg; overrides: ${OVR[*]})"
 timeout "${LEG2_TIMEOUT:-14400}" python scripts/train.py --run-dir "$RUN" \
   --max-kimg "$KIMG2" "${OVR[@]}" >> "$LOG" 2>&1
 echo "--- rc=$? $(date -u +%T)" >> "$LOG"
