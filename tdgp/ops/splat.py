@@ -64,6 +64,22 @@ _CHUNK = int(os.environ.get('TDGP_SPLAT_CHUNK', '512'))
 # the one-hot spans [K, wrows*W]. TDGP_SPLAT_WROWS is the measurement knob.
 _WROWS = int(os.environ.get('TDGP_SPLAT_WROWS', '2'))
 
+# OVERLAP windows: a SINGLE window family of (wrows+1)-row windows at row
+# stride wrows — window q covers absolute rows [q*wrows, q*wrows + wrows],
+# so every bilinear footprint (2 adjacent rows, top row anywhere in
+# [q*wrows, (q+1)*wrows - 1]) fits ONE window with no entry splitting and
+# no parity families. The families exist only to give every footprint a
+# home; overlapping the homes does the same job with a table of
+# (1 + 1/wrows) x planes instead of 2x — and the accumulate kernel is
+# bound by visited-window-block HBM traffic (~table bytes x2), so the
+# whole family's worth of block fetch/write, zero-init and unfold read
+# disappears. Costs: the one-hot spans [K, (wrows+1)*W] (wider VPU build
+# per chunk) and the unfold adds each window's overlap row into the next
+# window's first row (one strided add). TDGP_SPLAT_OVERLAP=1 enables;
+# wrows then defaults to 4 unless TDGP_SPLAT_WROWS is set.
+_OVERLAP = os.environ.get('TDGP_SPLAT_OVERLAP', '') not in ('', '0')
+_WROWS_SET = 'TDGP_SPLAT_WROWS' in os.environ
+
 # worklist meta packing: ONE s32 per item carries (item_chunk << FLAG_BITS
 # | flags). Two SMEM-prefetch arrays (meta, key) instead of six keep the
 # worklist under the 1 MB SMEM budget at batch >= 24. These constants are
@@ -167,6 +183,31 @@ def _window_meta_wide(y0i: jnp.ndarray, ws: Tuple[jnp.ndarray, ...], H: int,
     key_b = nwa + pid * nw_pp + (ytop - half) // wrows
     key = jnp.where(in_b, key_b, key_a)
     roff = jnp.where(in_b, half - 1, r)
+    return key.astype(jnp.int32), (a00, a01, a10, a11), roff.astype(jnp.int32)
+
+
+def _window_meta_overlap(y0i: jnp.ndarray, ws: Tuple[jnp.ndarray, ...], H: int,
+                         n3: int, pid: jnp.ndarray, wrows: int):
+    """Single-family OVERLAP windows (see _OVERLAP).
+
+    Window q spans absolute rows [q*wrows, q*wrows + wrows] (wrows+1 rows,
+    stride wrows). A footprint with clipped top row t lives in window
+    t // wrows at row offset t % wrows — always fits, never splits. The
+    last window's overlap row is absolute row H (out of plane) but
+    unreachable: t <= H-2 gives roff <= wrows-2 there, so the unfold can
+    drop it unconditionally.
+    """
+    w00, w01, w10, w11 = ws
+    nw_pp = H // wrows
+    ytop = jnp.clip(y0i, 0, H - 2)
+    sh = ytop - y0i  # 0: rows align; +1: y0=-1 (top corner invalid); -1: y0=H-1
+    zeros = jnp.zeros_like(w00)
+    a00 = jnp.where(sh == 0, w00, jnp.where(sh == 1, w10, zeros))
+    a01 = jnp.where(sh == 0, w01, jnp.where(sh == 1, w11, zeros))
+    a10 = jnp.where(sh == 0, w10, jnp.where(sh == -1, w00, zeros))
+    a11 = jnp.where(sh == 0, w11, jnp.where(sh == -1, w01, zeros))
+    key = pid * nw_pp + ytop // wrows
+    roff = ytop % wrows
     return key.astype(jnp.int32), (a00, a01, a10, a11), roff.astype(jnp.int32)
 
 
@@ -281,17 +322,18 @@ def _splat_kernel(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
 
 def _splat_kernel_wide(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
                        oh_ref, key_sc_ref, acc_ref,
-                       *, F: int, W: int, wrows: int, mxu_bf16: bool,
+                       *, F: int, W: int, wc: int, mxu_bf16: bool,
                        entry_bf16: bool, table_bf16: bool,
                        zero_windows: bool = True):
-    """wrows-row window variant: one [K, wrows*W] one-hot, one MXU matmul.
+    """Multi-row window variant: one [K, wc] one-hot, one MXU matmul.
 
-    Each entry's four bilinear weights land at flat columns
-    roff*W + {x0, x0+1} (top corner row) and (roff+1)*W + {x0, x0+1}
-    (bottom). Out-of-plane corners carry zero weight, so the false column
-    collisions their unclipped x0 can produce (e.g. x0+1 == W aliasing the
-    next row's column 0) contribute exactly zero — same invariant the 2-row
-    kernel relies on within its [K, W] one-hots.
+    wc = window columns: wrows*W for family windows, (wrows+1)*W for
+    overlap windows. Each entry's four bilinear weights land at flat
+    columns roff*W + {x0, x0+1} (top corner row) and (roff+1)*W +
+    {x0, x0+1} (bottom). Out-of-plane corners carry zero weight, so the
+    false column collisions their unclipped x0 can produce (e.g.
+    x0+1 == W aliasing the next row's column 0) contribute exactly zero —
+    same invariant the 2-row kernel relies on within its [K, W] one-hots.
     """
     j = pl.program_id(0)
     w_id = key_ref[j]
@@ -332,7 +374,7 @@ def _splat_kernel_wide(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
             rof = ent[:, F + 6:F + 7]
 
         k = ent.shape[0]
-        col = jax.lax.broadcasted_iota(jnp.int32, (k, wrows * W), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (k, wc), 1)
         top = (rof * W + x0f).astype(jnp.int32)     # exact: |values| < 2^23
         c0 = (col == top).astype(jnp.float32)
         c1 = (col == top + 1).astype(jnp.float32)
@@ -368,6 +410,7 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
                  n_windows: int, F: int, W: int, interpret: bool,
                  mxu_bf16: bool = False, entry_bf16: bool = False,
                  table_bf16: bool = False, wrows: int = 2,
+                 overlap: bool = False,
                  init_table: jnp.ndarray = None) -> jnp.ndarray:
     """Run the worklist kernel. packed_sorted: [Epad, F+6] sorted by key.
 
@@ -425,7 +468,10 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
     lanes = packed_sorted.shape[1]
     acc_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
     out_dtype = jnp.bfloat16 if table_bf16 else jnp.float32
-    wc = wrows * W if wrows != 2 else 2 * W   # window block columns
+    if overlap:
+        wc = (wrows + 1) * W                  # stride wrows + 1 overlap row
+    else:
+        wc = wrows * W if wrows != 2 else 2 * W   # window block columns
     zero_windows = init_table is None
     if zero_windows:
         init_table = jnp.zeros((n_windows + 1, F, wc), out_dtype)
@@ -433,7 +479,7 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
         assert not table_bf16, 'init_table accumulation requires f32 tables'
         assert not interpret, 'init_table accumulation is compiled-path only'
         assert init_table.shape == (n_windows + 1, F, wc), init_table.shape
-    if wrows == 2:
+    if wrows == 2 and not overlap:
         kernel = functools.partial(_splat_kernel, F=F, W=W, mxu_bf16=mxu_bf16,
                                    entry_bf16=entry_bf16, table_bf16=table_bf16,
                                    zero_windows=zero_windows)
@@ -444,7 +490,7 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
             pltpu.VMEM((F, wc), jnp.float32),   # fp32 run accumulator
         ]
     else:
-        kernel = functools.partial(_splat_kernel_wide, F=F, W=W, wrows=wrows,
+        kernel = functools.partial(_splat_kernel_wide, F=F, W=W, wc=wc,
                                    mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
                                    table_bf16=table_bf16,
                                    zero_windows=zero_windows)
@@ -478,7 +524,7 @@ def _splat_table(packed_sorted: jnp.ndarray, keys_sorted: jnp.ndarray,
 
 def _prep_entries(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
                   n3: int, H: int, W: int, interpret: bool,
-                  entry_bf16: bool, wrows: int):
+                  entry_bf16: bool, wrows: int, overlap: bool = False):
     """Pack one entry per (plane, point), pad to chunk multiple, key-sort.
 
     Returns (packed_sorted [Epad, lanes], keys_sorted [Epad], n_windows).
@@ -487,15 +533,17 @@ def _prep_entries(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
     gx, gy = _pixel_coords(coords, scale, H, W)
     x0i, y0i, _tx, _ty, _ms, ws = _corner_meta(gx, gy, H, W)
     pid = jnp.broadcast_to(jnp.arange(n3, dtype=jnp.int32)[:, None], (n3, P))
-    if wrows == 2:
+    if overlap:
+        key, avec, roff = _window_meta_overlap(y0i, ws, H, n3, pid, wrows)
+    elif wrows == 2:
         key, avec = _window_meta(y0i, ws, H, n3, pid)
         roff = None
     else:
         key, avec, roff = _window_meta_wide(y0i, ws, H, n3, pid, wrows)
 
     E = n3 * P
-    nw_pp = H // wrows                 # windows per plane per family
-    n_windows = 2 * n3 * nw_pp
+    nw_pp = H // wrows                 # windows per plane (per family)
+    n_windows = n3 * nw_pp if overlap else 2 * n3 * nw_pp
     f32 = jnp.float32
     if entry_bf16:
         assert W <= 0x10000 and n_windows + 1 <= 0x10000
@@ -559,9 +607,24 @@ def _prep_entries(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
 
 
 def _unfold_table(table: jnp.ndarray, n3: int, H: int, W: int, F: int,
-                  n_windows: int, wrows: int) -> jnp.ndarray:
+                  n_windows: int, wrows: int,
+                  overlap: bool = False) -> jnp.ndarray:
     """Window table [nw+1, F, wrows*W] -> plane cotangent [N3, H, W, F]."""
     nw_pp = H // wrows
+    if overlap:
+        # [nw+1, F, (wrows+1)*W]: rows 0..wrows-1 of window q are absolute
+        # rows q*wrows+r (disjoint — a strided view of the plane); the
+        # overlap row wrows adds into the NEXT window's row 0. The last
+        # window's overlap row is unreachable (see _window_meta_overlap).
+        t = table[:n_windows].reshape(n3, nw_pp, F, wrows + 1, W)
+        main = t[:, :, :, :wrows].transpose(0, 1, 3, 4, 2)  # [n3,nw,wr,W,F]
+        main = main.reshape(n3, H, W, F).astype(jnp.float32)
+        over = t[:, :-1, :, wrows].transpose(0, 1, 3, 2)    # [n3,nw-1,W,F]
+        over = over.astype(jnp.float32)[:, :, None]         # [n3,nw-1,1,W,F]
+        # window q's overlap -> absolute row (q+1)*wrows: pad one window in
+        # front and wrows-1 zero rows behind; pad+add fuses elementwise
+        add = jnp.pad(over, ((0, 0), (1, 0), (0, wrows - 1), (0, 0), (0, 0)))
+        return main + add.reshape(n3, H, W, F)
     nwa = n3 * nw_pp
     half = wrows // 2
     A = table[:nwa].reshape(n3, nw_pp, F, wrows, W).transpose(0, 1, 3, 4, 2)
@@ -577,7 +640,8 @@ def _unfold_table(table: jnp.ndarray, n3: int, H: int, W: int, F: int,
 def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
                    n3: int, H: int, W: int, interpret: bool = False,
                    mxu_bf16: bool = False, entry_bf16: bool = False,
-                   table_bf16: bool = False, wrows: int = None) -> jnp.ndarray:
+                   table_bf16: bool = False, wrows: int = None,
+                   overlap: bool = None) -> jnp.ndarray:
     """Adjoint of the tri-plane bilinear gather.
 
     g_pts:  [N3, P, F] cotangent rows per (plane, point)
@@ -593,27 +657,35 @@ def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
     one bf16 HBM write per window) — halves the kernel's table write and the
     unfold's read; rounds each plane-grad texel once.
     wrows: texel rows per window (default TDGP_SPLAT_WROWS; see _WROWS).
+    overlap: single-family overlapping windows (default TDGP_SPLAT_OVERLAP;
+    see _OVERLAP — table (1+1/wrows)x planes instead of 2x).
     Returns g_planes [N3, H, W, F].
     """
+    if overlap is None:
+        overlap = _OVERLAP
     if wrows is None:
-        wrows = _WROWS
-    assert wrows >= 2 and wrows % 2 == 0 and H % wrows == 0, (H, wrows)
+        wrows = _WROWS if (_WROWS_SET or not overlap) else 4
+    if overlap:
+        assert wrows >= 2 and H % wrows == 0, (H, wrows)
+    else:
+        assert wrows >= 2 and wrows % 2 == 0 and H % wrows == 0, (H, wrows)
     assert W % 128 == 0, W
     F = g_pts.shape[-1]
     packed_sorted, keys_sorted, n_windows = _prep_entries(
-        g_pts, coords, scale, n3, H, W, interpret, entry_bf16, wrows)
+        g_pts, coords, scale, n3, H, W, interpret, entry_bf16, wrows,
+        overlap=overlap)
     table = _splat_table(packed_sorted, keys_sorted, n_windows, F, W, interpret,
                          mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
-                         table_bf16=table_bf16, wrows=wrows)
-    return _unfold_table(table, n3, H, W, F, n_windows, wrows)
+                         table_bf16=table_bf16, wrows=wrows, overlap=overlap)
+    return _unfold_table(table, n3, H, W, F, n_windows, wrows, overlap=overlap)
 
 
 def triplane_splat_pair(g_pts1: jnp.ndarray, coords1: jnp.ndarray,
                         g_pts2: jnp.ndarray, coords2: jnp.ndarray,
                         scale: float, n3: int, H: int, W: int,
                         interpret: bool = False, mxu_bf16: bool = False,
-                        entry_bf16: bool = False,
-                        wrows: int = None) -> jnp.ndarray:
+                        entry_bf16: bool = False, wrows: int = None,
+                        overlap: bool = None) -> jnp.ndarray:
     """Merged adjoint for TWO entry sets splatting into the SAME planes.
 
     == triplane_splat(g1, c1) + triplane_splat(g2, c2), computed with ONE
@@ -628,9 +700,14 @@ def triplane_splat_pair(g_pts1: jnp.ndarray, coords1: jnp.ndarray,
     triplane_sample_pair_* for how the fine cotangents reach this call).
     Interpret mode (no aliasing support) computes two tables and adds.
     """
+    if overlap is None:
+        overlap = _OVERLAP
     if wrows is None:
-        wrows = _WROWS
-    assert wrows >= 2 and wrows % 2 == 0 and H % wrows == 0, (H, wrows)
+        wrows = _WROWS if (_WROWS_SET or not overlap) else 4
+    if overlap:
+        assert wrows >= 2 and H % wrows == 0, (H, wrows)
+    else:
+        assert wrows >= 2 and wrows % 2 == 0 and H % wrows == 0, (H, wrows)
     assert W % 128 == 0, W
     F = g_pts1.shape[-1]
     # 'concat': ONE sort/take/accumulate over the union — halves the
@@ -643,24 +720,27 @@ def triplane_splat_pair(g_pts1: jnp.ndarray, coords1: jnp.ndarray,
         cc = jnp.concatenate([coords1, coords2], axis=1)
         return triplane_splat(g, cc, scale, n3, H, W, interpret=interpret,
                               mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
-                              wrows=wrows)
+                              wrows=wrows, overlap=overlap)
     ps1, ks1, n_windows = _prep_entries(
-        g_pts1, coords1, scale, n3, H, W, interpret, entry_bf16, wrows)
+        g_pts1, coords1, scale, n3, H, W, interpret, entry_bf16, wrows,
+        overlap=overlap)
     table = _splat_table(ps1, ks1, n_windows, F, W, interpret,
-                         mxu_bf16=mxu_bf16, entry_bf16=entry_bf16, wrows=wrows)
+                         mxu_bf16=mxu_bf16, entry_bf16=entry_bf16, wrows=wrows,
+                         overlap=overlap)
     ps2, ks2, n_windows2 = _prep_entries(
-        g_pts2, coords2, scale, n3, H, W, interpret, entry_bf16, wrows)
+        g_pts2, coords2, scale, n3, H, W, interpret, entry_bf16, wrows,
+        overlap=overlap)
     assert n_windows2 == n_windows
     if interpret:
         table2 = _splat_table(ps2, ks2, n_windows, F, W, interpret,
                               mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
-                              wrows=wrows)
+                              wrows=wrows, overlap=overlap)
         table = table + table2
     else:
         table = _splat_table(ps2, ks2, n_windows, F, W, interpret,
                              mxu_bf16=mxu_bf16, entry_bf16=entry_bf16,
-                             wrows=wrows, init_table=table)
-    return _unfold_table(table, n3, H, W, F, n_windows, wrows)
+                             wrows=wrows, overlap=overlap, init_table=table)
+    return _unfold_table(table, n3, H, W, F, n_windows, wrows, overlap=overlap)
 
 
 def triplane_splat_ref(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,

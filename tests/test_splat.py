@@ -222,6 +222,77 @@ def test_splat_wide_windows_boundary_rows():
     assert num / np.linalg.norm(np.asarray(ref)) < 0.01
 
 
+@pytest.mark.parametrize('wrows', [2, 4, 8])
+def test_splat_overlap_windows_vs_scatter_ref(setup, wrows):
+    """Single-family OVERLAP windows (TDGP_SPLAT_OVERLAP): (wrows+1)-row
+    windows at stride wrows hold every footprint without parity families;
+    the table is (1+1/wrows)x planes instead of 2x. Exact parity."""
+    planes, coords, g_pts, scale = setup
+    n3, h, w, f = planes.shape
+    out = jax.jit(lambda g, c: triplane_splat(
+        g, c, scale, n3, h, w, interpret=True, wrows=wrows,
+        overlap=True))(g_pts, coords)
+    ref = triplane_splat_ref(g_pts, coords, scale, n3, h, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_splat_overlap_windows_bf16(setup):
+    """Overlap windows compose with the bf16 entry/MXU production flags."""
+    planes, coords, g_pts, scale = setup
+    n3, h, w, f = planes.shape
+    ref = triplane_splat_ref(g_pts, coords, scale, n3, h, w)
+    out = jax.jit(lambda g, c: triplane_splat(
+        g, c, scale, n3, h, w, interpret=True, wrows=4, overlap=True,
+        mxu_bf16=True, entry_bf16=True))(g_pts, coords)
+    num = np.linalg.norm(np.asarray(out) - np.asarray(ref))
+    den = np.linalg.norm(np.asarray(ref))
+    assert num / den < 0.01, num / den
+    assert (np.asarray(out)[np.asarray(ref) == 0] == 0).all()
+
+
+def test_splat_overlap_boundary_rows():
+    """Overlap-window corner cases: plane-edge footprints (y0=-1, y0=H-1)
+    and footprints whose top row is the LAST in-stride row of a window
+    (ytop % wrows == wrows-1 — the bottom corner lands on the overlap row
+    that the unfold adds into the next window)."""
+    n, h, w, f = 1, 64, 128, 8
+    scale = 1.0
+    key = jax.random.PRNGKey(3)
+    p = 96
+    coords = jax.random.uniform(key, (n, p, 3), minval=-1.1, maxval=1.1)
+    coords = coords.at[:, :16, 1].set(jnp.linspace(-1.05, -0.95, 16))
+    coords = coords.at[:, 16:32, 1].set(jnp.linspace(0.95, 1.05, 16))
+    # top rows ≡ wrows-1 (mod wrows): every footprint uses its overlap row
+    ys = (jnp.arange(16) % (h // 4)) * 4 + 3
+    coords = coords.at[:, 32:48, 1].set(ys / (h - 1) * 2.0 - 1.0 + 1e-4)
+    g_pts = jax.random.normal(key, (n * 3, p, f), jnp.float32)
+    ref = triplane_splat_ref(g_pts, coords, scale, n * 3, h, w)
+    for wrows in (2, 4):
+        out = triplane_splat(g_pts, coords, scale, n * 3, h, w,
+                             interpret=True, wrows=wrows, overlap=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5, err_msg=str(wrows))
+
+
+def test_splat_pair_overlap(setup):
+    """The merged coarse+fine pair splat under overlap windows."""
+    from tdgp.ops.splat import triplane_splat_pair
+    planes, coords, g_pts, scale = setup
+    n3, h, w, f = planes.shape
+    key = jax.random.PRNGKey(11)
+    k1, k2 = jax.random.split(key)
+    coords2 = jax.random.uniform(k1, coords.shape, minval=-0.62, maxval=0.62)
+    g2 = jax.random.normal(k2, g_pts.shape, jnp.float32)
+    merged = jax.jit(lambda a, b, c, d: triplane_splat_pair(
+        a, b, c, d, scale, n3, h, w, interpret=True, wrows=4,
+        overlap=True))(g_pts, coords, g2, coords2)
+    ref = (triplane_splat_ref(g_pts, coords, scale, n3, h, w)
+           + triplane_splat_ref(g2, coords2, scale, n3, h, w))
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_splat_boundary_rows():
     """Points whose corners touch rows -1/H-1/H exercise the window remap."""
     n, h, w, f = 1, 64, 128, 8
