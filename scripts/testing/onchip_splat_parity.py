@@ -160,6 +160,38 @@ def main():
         r = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
         assert r < tol, f'pair-op {name} rel err {r}'
     print('pair sample ops (token channel) parity OK', flush=True)
+
+    # --- 5. overlap windows on hardware ----------------------------------
+    # Single-family (wrows+1)-row windows at stride wrows: the aliasing
+    # zero-init, the overlap-row unfold add, and the production bf16 flags
+    # all only fully exercise on the real kernel. Sparse coords cover the
+    # unvisited-window path; the merged pair covers init_table accumulation
+    # into an overlap-shaped table.
+    for wr in (2, 4, 8):
+        out_o = jax.jit(lambda g, c: triplane_splat(
+            g, c, scale, n * 3, h, w, wrows=wr, overlap=True))(
+                g_pts, coords_d)
+        np.testing.assert_allclose(np.asarray(out_o), np.asarray(ref_d),
+                                   rtol=1e-4, atol=1e-4, err_msg=f'wr={wr}')
+        out_os = jax.jit(lambda g, c: triplane_splat(
+            g, c, scale, n * 3, h, w, wrows=wr, overlap=True))(g_pts, coords)
+        out_os = np.asarray(out_os)
+        np.testing.assert_allclose(out_os, ref, rtol=1e-4, atol=1e-4,
+                                   err_msg=f'wr={wr} sparse')
+        assert np.all(out_os[:, h // 2:, :, :] == 0.0), f'wr={wr} zero-init'
+        out_ob = jax.jit(lambda g, c: triplane_splat(
+            g, c, scale, n * 3, h, w, wrows=wr, overlap=True,
+            mxu_bf16=True, entry_bf16=True))(g_pts, coords_d)
+        rb = (np.linalg.norm(np.asarray(out_ob) - np.asarray(ref_d))
+              / np.linalg.norm(np.asarray(ref_d)))
+        assert rb < 0.01, f'wr={wr} bf16 rel {rb}'
+    merged_o = jax.jit(lambda a, b, c_, d: triplane_splat_pair(
+        a, b, c_, d, scale, n * 3, h, w, wrows=4, overlap=True))(
+            g_pts, coords, g2, coords_d)
+    np.testing.assert_allclose(np.asarray(merged_o), ref_m,
+                               rtol=1e-4, atol=1e-4)
+    print('overlap windows (wr 2/4/8 + bf16 + merged pair) parity OK',
+          flush=True)
     print('ONCHIP SPLAT PARITY: ALL OK', flush=True)
     return 0
 

@@ -9,8 +9,12 @@ cd /root/repo || exit 1
 LOG=experiments/r5_battery.log
 stamp() { echo "=== $* $(date -u +%F' '%T) ===" >> "$LOG"; }
 
-stamp "STAGE 1: onchip splat parity (incl. merged pair)"
+stamp "STAGE 1: onchip splat parity (incl. merged pair + overlap windows)"
 timeout 1800 python scripts/testing/onchip_splat_parity.py >> "$LOG" 2>&1
+echo "--- rc=$? $(date -u +%T)" >> "$LOG"
+
+stamp "STAGE 1b: overlap-window splat sweep (e2e prod bf16, wrows 2/4/8)"
+timeout 1800 python scripts/testing/profile_splat_overlap.py >> "$LOG" 2>&1
 echo "--- rc=$? $(date -u +%T)" >> "$LOG"
 
 stamp "STAGE 2: bench b16 merged_splat=alias"
