@@ -111,6 +111,10 @@ def run_bench(batch_size: int, batch_gpu=None):
     if os.environ.get('TDGP_R1_REMAT'):  # remat R1's inner D forward
         cfg = dataclasses.replace(
             cfg, loss=dataclasses.replace(cfg.loss, r1_remat=True))
+    if os.environ.get('TDGP_R1_BATCH_GPU'):  # R1-only microbatch size
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(
+                cfg.loss, r1_batch_gpu=int(os.environ['TDGP_R1_BATCH_GPU'])))
     if os.environ.get('TDGP_MERGED_SPLAT'):  # merged coarse+fine bwd splat
         cfg = dataclasses.replace(
             cfg, generator=dataclasses.replace(cfg.generator,

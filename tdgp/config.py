@@ -303,6 +303,14 @@ class LossConfig:
     # ~0) for the grad-of-grad liveness that is the v5e-16GB batch ceiling
     # (b24/b32 OOM at the step_r1 warmup, DESIGN.md battery9)
     r1_remat: bool = False
+    # R1-ONLY microbatch size (None -> training.batch_gpu). The R1 phase's
+    # grad-of-grad peak is the HBM ceiling, and R1 runs only every
+    # r1_interval steps, so a smaller (slower) R1 micro is ~free on the
+    # step cadence while the rest of the step keeps its larger micro —
+    # the lever the reference's lazy regularization makes cheap
+    # (ref training_loop.py:196-199). Must divide the local batch and be
+    # a multiple of mbstd_group_size.
+    r1_batch_gpu: Optional[int] = None
     pl_weight: float = 0.0
     pl_start_kimg: int = 0
     pl_batch_shrink: int = 2

@@ -586,8 +586,20 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
                      'idx': sample_idx}
             if real_pp is not None:
                 r1_md['rpp'] = real_pp
+            # R1-only microbatch (loss.r1_batch_gpu): the grad-of-grad
+            # peak sets the HBM ceiling and amortizes over r1_interval
+            # steps, so it may run at a smaller micro than the main phases
+            rbg = cfg.loss.r1_batch_gpu
+            n_micro_r1 = n_micro
+            if rbg and rbg < n:
+                assert n % rbg == 0, \
+                    f'local batch {n} not divisible by r1_batch_gpu {rbg}'
+                assert rbg % cfg.discriminator.mbstd_group_size == 0, \
+                    f'r1_batch_gpu {rbg} not divisible by mbstd_group_size ' \
+                    f'{cfg.discriminator.mbstd_group_size}'
+                n_micro_r1 = n // rbg
             (r1_loss, r1_pen), r1_grads = _microbatched_grad(
-                r1_loss_fn, d_params, r1_md, n_micro)
+                r1_loss_fn, d_params, r1_md, n_micro_r1)
             r1_grads = scrub(pmean(r1_grads))
             r1_updates, d_opt = d_tx.update(r1_grads, d_opt, d_params)
             d_params = optax.apply_updates(d_params, r1_updates)
