@@ -68,15 +68,16 @@ _WROWS = int(os.environ.get('TDGP_SPLAT_WROWS', '2'))
 # stride wrows — window q covers absolute rows [q*wrows, q*wrows + wrows],
 # so every bilinear footprint (2 adjacent rows, top row anywhere in
 # [q*wrows, (q+1)*wrows - 1]) fits ONE window with no entry splitting and
-# no parity families. The families exist only to give every footprint a
-# home; overlapping the homes does the same job with a table of
-# (1 + 1/wrows) x planes instead of 2x — and the accumulate kernel is
-# bound by visited-window-block HBM traffic (~table bytes x2), so the
-# whole family's worth of block fetch/write, zero-init and unfold read
-# disappears. Costs: the one-hot spans [K, (wrows+1)*W] (wider VPU build
-# per chunk) and the unfold adds each window's overlap row into the next
-# window's first row (one strided add). TDGP_SPLAT_OVERLAP=1 enables;
-# wrows then defaults to 4 unless TDGP_SPLAT_WROWS is set.
+# no parity families, shrinking the table from 2x planes to
+# (1 + 1/wrows) x. MEASURED NEGATIVE (r5 battery stage 1b, DESIGN.md
+# round-5 ledger): +14% at wrows=2, scoped-VMEM OOM at wrows=4 — v5e HBM
+# (~819 GB/s) makes the visited-window block traffic ~8 ms/pass, so the
+# family's extra table bytes were never the accumulate's wall; the wide
+# kernel's [K, (wrows+1)*W] one-hot build and per-item grid overhead are,
+# and both favor the narrow 2-row family kernel. Kept env-gated
+# (TDGP_SPLAT_OVERLAP=1; parity-green at wrows 2/4 incl. bf16 + merged
+# pair, on-chip gate stage 5) as the documented measurement; wrows
+# defaults to 4 under overlap unless TDGP_SPLAT_WROWS is set.
 _OVERLAP = os.environ.get('TDGP_SPLAT_OVERLAP', '') not in ('', '0')
 _WROWS_SET = 'TDGP_SPLAT_WROWS' in os.environ
 
