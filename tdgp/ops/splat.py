@@ -81,6 +81,29 @@ _WROWS = int(os.environ.get('TDGP_SPLAT_WROWS', '2'))
 _OVERLAP = os.environ.get('TDGP_SPLAT_OVERLAP', '') not in ('', '0')
 _WROWS_SET = 'TDGP_SPLAT_WROWS' in os.environ
 
+# TDGP_SPLAT_TAKE=i8: run the sorted row-take through an int8 bitcast.
+# The take's tile traffic is per PADDED row (128 lanes x itemsize): a
+# [E, 41] bf16 row moves 256B for 82 useful bytes; bitcast to [E, 82]
+# int8 it moves 128B. Bit-exact (pure bitcast round-trip) — the knob is
+# whether XLA's gather actually charges per padded byte (probe_take_int8).
+_TAKE_I8 = os.environ.get('TDGP_SPLAT_TAKE', '') == 'i8'
+
+
+def _sorted_take(packed: jnp.ndarray, perm: jnp.ndarray,
+                 via_i8: bool = None) -> jnp.ndarray:
+    """Row-gather `packed[perm]`, optionally moving int8-bitcast rows."""
+    if via_i8 is None:
+        via_i8 = _TAKE_I8
+    if not via_i8:
+        return jnp.take(packed, perm, axis=0)
+    e, lanes = packed.shape
+    nb = packed.dtype.itemsize
+    rows_i8 = jax.lax.bitcast_convert_type(packed, jnp.int8)  # [E, lanes, nb]
+    rows_i8 = rows_i8.reshape(e, lanes * nb)
+    taken = jnp.take(rows_i8, perm, axis=0)
+    return jax.lax.bitcast_convert_type(
+        taken.reshape(e, lanes, nb), packed.dtype)
+
 # worklist meta packing: ONE s32 per item carries (item_chunk << FLAG_BITS
 # | flags). Two SMEM-prefetch arrays (meta, key) instead of six keep the
 # worklist under the 1 MB SMEM budget at batch >= 24. These constants are
@@ -596,7 +619,7 @@ def _prep_entries(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
     keys = jnp.concatenate([keys, extra_keys], axis=0)
 
     perm = jnp.argsort(keys)
-    packed_sorted = jnp.take(packed, perm, axis=0)
+    packed_sorted = _sorted_take(packed, perm)
     # sorted keys come back out of the sorted rows (exact integer round-trip
     # through f32 / split-bf16) — saves a second [E]-row gather
     if entry_bf16:

@@ -293,6 +293,33 @@ def test_splat_pair_overlap(setup):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_sorted_take_i8_roundtrip(setup):
+    """TDGP_SPLAT_TAKE=i8: the int8-bitcast row-take must be bit-exact for
+    bf16 and f32 rows, and the splat must be identical under it."""
+    from tdgp.ops.splat import _sorted_take
+    planes, coords, g_pts, scale = setup
+    n3, h, w, f = planes.shape
+    key = jax.random.PRNGKey(5)
+    for dtype in (jnp.bfloat16, jnp.float32):
+        rows = jax.random.normal(key, (64, 11), jnp.float32).astype(dtype)
+        perm = jax.random.permutation(jax.random.PRNGKey(6), 64)
+        a = _sorted_take(rows, perm, via_i8=False)
+        b = _sorted_take(rows, perm, via_i8=True)
+        assert a.dtype == b.dtype == dtype
+        assert (np.asarray(a) == np.asarray(b)).all()
+    import tdgp.ops.splat as S
+    old = S._TAKE_I8
+    try:
+        S._TAKE_I8 = True
+        out = jax.jit(lambda g, c: triplane_splat(
+            g, c, scale, n3, h, w, interpret=True))(g_pts, coords)
+    finally:
+        S._TAKE_I8 = old
+    ref = triplane_splat_ref(g_pts, coords, scale, n3, h, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_splat_boundary_rows():
     """Points whose corners touch rows -1/H-1/H exercise the window remap."""
     n, h, w, f = 1, 64, 128, 8
