@@ -255,8 +255,10 @@ class GeneratorConfig:
     # reassociation of the same fp32 sums — no precision change — saving
     # a zero-table init, a family-add and an unfold per differentiated
     # render. Requires the fused path with packing and a 'save' sample
-    # mode; default off until measured on-chip (bench: TDGP_MERGED_SPLAT)
-    merged_splat: bool = False
+    # mode. Default ON since the r5 battery (concat pair mode 10.22 vs
+    # 9.75 imgs/s anchor at b16; DESIGN.md round-5 ledger); opt out per
+    # run with generator.merged_splat=false.
+    merged_splat: bool = True
 
 
 @dataclass(frozen=True)

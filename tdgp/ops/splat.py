@@ -81,11 +81,14 @@ _WROWS = int(os.environ.get('TDGP_SPLAT_WROWS', '2'))
 _OVERLAP = os.environ.get('TDGP_SPLAT_OVERLAP', '') not in ('', '0')
 _WROWS_SET = 'TDGP_SPLAT_WROWS' in os.environ
 
-# TDGP_SPLAT_TAKE=i8: run the sorted row-take through an int8 bitcast.
-# The take's tile traffic is per PADDED row (128 lanes x itemsize): a
-# [E, 41] bf16 row moves 256B for 82 useful bytes; bitcast to [E, 82]
-# int8 it moves 128B. Bit-exact (pure bitcast round-trip) — the knob is
-# whether XLA's gather actually charges per padded byte (probe_take_int8).
+# TDGP_SPLAT_TAKE=i8: sorted row-take through an int8 bitcast. The
+# gather is charged per PADDED row (128 lanes x itemsize), so a [E, 41]
+# bf16 row moves 256B for 82 useful bytes while its [E, 82] int8 bitcast
+# moves 128B — measured standalone 261.2 -> 134.4 ms at E=6.3M,
+# bit-exact round-trip (probe_take_int8). DEFAULT OFF: inside the full
+# train step the bitcast blew XLA compile past 50 min (r5, vs ~18 min
+# without — layout/fusion pathology, unresolved), so the win is real but
+# not shippable until the compile cost is understood.
 _TAKE_I8 = os.environ.get('TDGP_SPLAT_TAKE', '') == 'i8'
 
 
@@ -734,12 +737,13 @@ def triplane_splat_pair(g_pts1: jnp.ndarray, coords1: jnp.ndarray,
         assert wrows >= 2 and wrows % 2 == 0 and H % wrows == 0, (H, wrows)
     assert W % 128 == 0, W
     F = g_pts1.shape[-1]
-    # 'concat': ONE sort/take/accumulate over the union — halves the
-    # worklist's window-run items (each window visited once, not once per
-    # pass) at the cost of double-size packed/sorted transients (~+3 GB at
-    # b16 256²). 'alias' (default) keeps per-pass transients and merges at
-    # the table. Both are exact; the knob is for on-chip measurement.
-    if os.environ.get('TDGP_SPLAT_PAIR_MODE', 'alias') == 'concat':
+    # 'concat' (default since the r5 battery: 10.22 vs alias 10.13 vs
+    # unmerged 9.75 imgs/s at b16): ONE sort/take/accumulate over the
+    # union — halves the worklist's window-run items (each window visited
+    # once, not once per pass) at the cost of double-size packed/sorted
+    # transients (~+3 GB at b16 256²). 'alias' keeps per-pass transients
+    # and merges at the table. Both are exact reassociations.
+    if os.environ.get('TDGP_SPLAT_PAIR_MODE', 'concat') == 'concat':
         g = jnp.concatenate([g_pts1, g_pts2], axis=1)
         cc = jnp.concatenate([coords1, coords2], axis=1)
         return triplane_splat(g, cc, scale, n3, H, W, interpret=interpret,
