@@ -115,10 +115,11 @@ def run_bench(batch_size: int, batch_gpu=None):
         cfg = dataclasses.replace(
             cfg, loss=dataclasses.replace(
                 cfg.loss, r1_batch_gpu=int(os.environ['TDGP_R1_BATCH_GPU'])))
-    if os.environ.get('TDGP_MERGED_SPLAT'):  # merged coarse+fine bwd splat
+    merged = os.environ.get('TDGP_MERGED_SPLAT')  # merged bwd splat ('0' = off)
+    if merged:
         cfg = dataclasses.replace(
             cfg, generator=dataclasses.replace(cfg.generator,
-                                               merged_splat=True))
+                                               merged_splat=merged != '0'))
     state, G, D = create_train_state(cfg, seed=0, local_batch=batch_size)
     # donate: each state object is passed to exactly one step call below
     # (always reassigned); frees a params+EMA+opt copy of HBM during the step

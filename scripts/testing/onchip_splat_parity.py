@@ -120,13 +120,21 @@ def main():
     # the other, both, and neither.
     from tdgp.ops.splat import triplane_splat_pair
     g2 = jax.random.normal(k1, (n * 3, p, f), jnp.float32)
-    merged = jax.jit(lambda a, b, c_, d: triplane_splat_pair(
-        a, b, c_, d, scale, n * 3, h, w))(g_pts, coords, g2, coords_d)
     ref_m = ref + np.asarray(triplane_splat_ref(g2, coords_d, scale,
                                                 n * 3, h, w))
-    np.testing.assert_allclose(np.asarray(merged), ref_m,
-                               rtol=1e-4, atol=1e-4)
-    print('merged pair splat (aliased init_table) parity OK', flush=True)
+    # pin the pair mode per sub-check: 'concat' is the shipped default but
+    # 'alias' stays production-selectable, and only hardware runs its
+    # aliased-init_table + zeroing-disabled path — both must stay gated
+    for mode in ('alias', 'concat'):
+        os.environ['TDGP_SPLAT_PAIR_MODE'] = mode
+        try:
+            merged = jax.jit(lambda a, b, c_, d: triplane_splat_pair(
+                a, b, c_, d, scale, n * 3, h, w))(g_pts, coords, g2, coords_d)
+        finally:
+            del os.environ['TDGP_SPLAT_PAIR_MODE']
+        np.testing.assert_allclose(np.asarray(merged), ref_m,
+                                   rtol=1e-4, atol=1e-4, err_msg=mode)
+    print('merged pair splat (alias + concat modes) parity OK', flush=True)
 
     # and through the production pair ops (token channel) vs two hoisted
     from tdgp.ops.splat import (triplane_sample_pair_first,
@@ -193,7 +201,7 @@ def main():
             g_pts, coords, g2, coords_d)
     np.testing.assert_allclose(np.asarray(merged_o), ref_m,
                                rtol=1e-4, atol=1e-4)
-    print('overlap windows (wr 2/4/8 + bf16 + merged pair) parity OK',
+    print('overlap windows (wr 2/4 + bf16 + merged pair) parity OK',
           flush=True)
     print('ONCHIP SPLAT PARITY: ALL OK', flush=True)
     return 0

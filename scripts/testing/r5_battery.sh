@@ -18,7 +18,8 @@ timeout 1800 python scripts/testing/profile_splat_overlap.py >> "$LOG" 2>&1
 echo "--- rc=$? $(date -u +%T)" >> "$LOG"
 
 stamp "STAGE 2: bench b16 merged_splat=alias"
-TDGP_MERGED_SPLAT=1 timeout 3000 python bench.py --single 16 none >> "$LOG" 2>&1
+TDGP_MERGED_SPLAT=1 TDGP_SPLAT_PAIR_MODE=alias \
+  timeout 3000 python bench.py --single 16 none >> "$LOG" 2>&1
 echo "--- rc=$? $(date -u +%T)" >> "$LOG"
 
 stamp "STAGE 3: bench b16 merged_splat=concat"

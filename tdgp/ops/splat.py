@@ -77,9 +77,24 @@ _WROWS = int(os.environ.get('TDGP_SPLAT_WROWS', '2'))
 # and both favor the narrow 2-row family kernel. Kept env-gated
 # (TDGP_SPLAT_OVERLAP=1; parity-green at wrows 2/4 incl. bf16 + merged
 # pair, on-chip gate stage 5) as the documented measurement; wrows
-# defaults to 4 under overlap unless TDGP_SPLAT_WROWS is set.
+# defaults to 2 under overlap (the measured-compilable point — 4 is the
+# scoped-VMEM OOM) unless TDGP_SPLAT_WROWS is set.
 _OVERLAP = os.environ.get('TDGP_SPLAT_OVERLAP', '') not in ('', '0')
 _WROWS_SET = 'TDGP_SPLAT_WROWS' in os.environ
+
+
+def _resolve_window_args(wrows, overlap, H):
+    """One policy for the wrows/overlap defaults + shape asserts (shared
+    by triplane_splat and triplane_splat_pair so the two can never drift)."""
+    if overlap is None:
+        overlap = _OVERLAP
+    if wrows is None:
+        wrows = _WROWS if (_WROWS_SET or not overlap) else 2
+    if overlap:
+        assert wrows >= 2 and H % wrows == 0, (H, wrows)
+    else:
+        assert wrows >= 2 and wrows % 2 == 0 and H % wrows == 0, (H, wrows)
+    return wrows, overlap
 
 # TDGP_SPLAT_TAKE=i8: sorted row-take through an int8 bitcast. The
 # gather is charged per PADDED row (128 lanes x itemsize), so a [E, 41]
@@ -390,7 +405,7 @@ def _splat_kernel_wide(meta_ref, key_ref, ent_ref, zero_ref, out_ref,
             a01 = ent[:, F + 5:F + 6].astype(f32)
             a10 = ent[:, F + 6:F + 7].astype(f32)
             a11 = ent[:, F + 7:F + 8].astype(f32)
-            rof = ent[:, F + 8:F + 9].astype(f32)   # exact: roff <= wrows-2
+            rof = ent[:, F + 8:F + 9].astype(f32)   # exact: roff <= wrows-1
         else:
             ekey = ent[:, F:F + 1]
             x0f = ent[:, F + 1:F + 2]
@@ -584,7 +599,7 @@ def _prep_entries(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
                 + [m.reshape(E, 1).astype(bf) for m in meta]
                 + [a.reshape(E, 1).astype(bf) for a in avec])
         if roff is not None:
-            cols.append(roff.reshape(E, 1).astype(bf))  # exact: <= wrows-2
+            cols.append(roff.reshape(E, 1).astype(bf))  # exact: <= wrows-1
         packed = jnp.concatenate(cols, axis=1)   # [E, F+8] (+1 wide)
     else:
         cols = [
@@ -688,14 +703,7 @@ def triplane_splat(g_pts: jnp.ndarray, coords: jnp.ndarray, scale: float,
     see _OVERLAP — table (1+1/wrows)x planes instead of 2x).
     Returns g_planes [N3, H, W, F].
     """
-    if overlap is None:
-        overlap = _OVERLAP
-    if wrows is None:
-        wrows = _WROWS if (_WROWS_SET or not overlap) else 4
-    if overlap:
-        assert wrows >= 2 and H % wrows == 0, (H, wrows)
-    else:
-        assert wrows >= 2 and wrows % 2 == 0 and H % wrows == 0, (H, wrows)
+    wrows, overlap = _resolve_window_args(wrows, overlap, H)
     assert W % 128 == 0, W
     F = g_pts.shape[-1]
     packed_sorted, keys_sorted, n_windows = _prep_entries(
@@ -727,14 +735,7 @@ def triplane_splat_pair(g_pts1: jnp.ndarray, coords1: jnp.ndarray,
     triplane_sample_pair_* for how the fine cotangents reach this call).
     Interpret mode (no aliasing support) computes two tables and adds.
     """
-    if overlap is None:
-        overlap = _OVERLAP
-    if wrows is None:
-        wrows = _WROWS if (_WROWS_SET or not overlap) else 4
-    if overlap:
-        assert wrows >= 2 and H % wrows == 0, (H, wrows)
-    else:
-        assert wrows >= 2 and wrows % 2 == 0 and H % wrows == 0, (H, wrows)
+    wrows, overlap = _resolve_window_args(wrows, overlap, H)
     assert W % 128 == 0, W
     F = g_pts1.shape[-1]
     # 'concat' (default since the r5 battery: 10.22 vs alias 10.13 vs

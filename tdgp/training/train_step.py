@@ -591,8 +591,10 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
             # steps, so it may run at a smaller micro than the main phases
             rbg = cfg.loss.r1_batch_gpu
             n_micro_r1 = n_micro
-            if rbg and rbg < n:
-                assert n % rbg == 0, \
+            if rbg:
+                # an explicit r1_batch_gpu always wins over batch_gpu's
+                # n_micro — rbg == n means "one full-batch R1 micro"
+                assert rbg <= n and n % rbg == 0, \
                     f'local batch {n} not divisible by r1_batch_gpu {rbg}'
                 assert rbg % cfg.discriminator.mbstd_group_size == 0, \
                     f'r1_batch_gpu {rbg} not divisible by mbstd_group_size ' \

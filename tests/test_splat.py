@@ -531,11 +531,15 @@ def test_bf16_planes_primal_grads(setup):
         assert num / den < 0.08, (name, num / den)
 
 
-def test_splat_pair_equals_sum_of_splats(setup):
+@pytest.mark.parametrize('mode', ['alias', 'concat'])
+def test_splat_pair_equals_sum_of_splats(setup, monkeypatch, mode):
     """triplane_splat_pair == splat(g1,c1) + splat(g2,c2) (merged
-    coarse+fine backward; interpret path adds two tables, hardware path
-    aliases one — covered by scripts/testing/onchip_splat_parity.py)."""
+    coarse+fine backward) in BOTH pair modes — 'concat' is the shipped
+    default since round 5, but 'alias' stays production-selectable via
+    TDGP_SPLAT_PAIR_MODE (interpret path adds two tables; the hardware
+    aliased-init_table path is covered by onchip_splat_parity.py)."""
     from tdgp.ops.splat import triplane_splat_pair
+    monkeypatch.setenv('TDGP_SPLAT_PAIR_MODE', mode)
     planes, coords, g_pts, scale = setup
     n3, h, w, f = planes.shape
     k = jax.random.PRNGKey(11)
