@@ -236,7 +236,12 @@ def training_loop(
         # (augment probability — the reference implicitly bounds it)
         if t.augment.mode == 'ada' and batch_idx % t.augment.ada_interval == 0 and ada_signs_acc:
             from tdgp.training.telemetry import host_np
-            signs = float(np.mean([host_np(s) for s in ada_signs_acc]))
+            # this pull blocks on the device queue every ada_interval
+            # steps, so under async dispatch it absorbs most of the
+            # device's step time — timing it makes sec_per_tick add up
+            # (Timing/ada_sync ~= device-bound wall; see DESIGN.md r5)
+            with timer.phase('ada_sync'):
+                signs = float(np.mean([host_np(s) for s in ada_signs_acc]))
             adjust = np.sign(signs - t.augment.target) * \
                 (batch_size * t.augment.ada_interval) / (t.augment.ada_kimg * 1000)
             ada_p = min(max(ada_p + adjust, 0.0), 1.0)
