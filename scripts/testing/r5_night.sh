@@ -1,0 +1,56 @@
+#!/bin/bash
+# Round-5 night chain: runs after the flagship leg-2 chain (r5_leg2.sh)
+# stamps "R5 LEG2 DONE". Tops the campaign up to >=200 kimg if the leg-2
+# timeout cut it short, refreshes the final EMA export + offline FID, then
+# spends the freed chip on the queued probes:
+#   b24 with r1_remat + r1_batch_gpu (the two R1-peak levers together),
+#   the int8-take stacked bench retry (compile-time question),
+#   the ADA augment-pipe cost probe, and the updated on-chip parity gate.
+cd /root/repo || exit 1
+LOG=experiments/r5_night.log
+RUN=experiments/synth256-3dgp-p64-b16-8839f23-r5-flagship
+FLOG=experiments/r5_flagship.log
+stamp() { echo "=== $* $(date -u +%F' '%T) ===" >> "$LOG"; }
+
+# wait for the leg-2 chain (training + EMA export + offline FID) to finish
+for i in $(seq 1 2000); do
+  grep -q "R5 LEG2 DONE" "$FLOG" 2>/dev/null && break
+  sleep 30
+done
+stamp "NIGHT CHAIN START (leg2 chain done or wait cap hit)"
+
+LAST=$(ls -d "$RUN"/network-snapshot-* 2>/dev/null | grep -o '[0-9]*$' | sort -n | tail -1)
+stamp "last snapshot kimg: ${LAST:-none}"
+if [ -n "$LAST" ] && [ "$((10#$LAST))" -lt 200 ]; then
+  stamp "LEG3 TOP-UP ($LAST -> 200 kimg)"
+  timeout 7200 python scripts/train.py --run-dir "$RUN" --max-kimg 200 \
+    training.val_freq=15 generator.merged_splat=true >> "$LOG" 2>&1
+  echo "--- rc=$? $(date -u +%T)" >> "$LOG"
+  stamp "EXPORT EMA (final)"
+  python scripts/infra/export_ema.py --run-dir "$RUN" --snapshot latest \
+    --out "$RUN/g_ema_final.npz" >> "$LOG" 2>&1
+  SNAP=$(ls -d "$RUN"/network-snapshot-*/ 2>/dev/null | sort | tail -1)
+  stamp "OFFLINE FID (final $SNAP)"
+  timeout 2400 python scripts/calc_metrics.py --run-dir "$RUN" \
+    --snapshot "$SNAP" --metrics fid2k_full --batch-gpu 4 >> "$LOG" 2>&1
+  echo "--- rc=$? $(date -u +%T)" >> "$LOG"
+fi
+
+stamp "PROBE: b24 with r1_remat + r1_batch_gpu=8"
+TDGP_R1_REMAT=1 TDGP_R1_BATCH_GPU=8 timeout 3000 \
+  python bench.py --single 24 8 >> "$LOG" 2>&1
+echo "--- rc=$? $(date -u +%T)" >> "$LOG"
+
+stamp "PROBE: int8-take stacked bench (compile-time retry)"
+TDGP_SPLAT_TAKE=i8 timeout 3000 python bench.py --single 16 none >> "$LOG" 2>&1
+echo "--- rc=$? $(date -u +%T)" >> "$LOG"
+
+stamp "PROBE: ADA augment pipe cost (flagship shapes)"
+timeout 1800 python scripts/testing/probe_augment_cost.py >> "$LOG" 2>&1
+echo "--- rc=$? $(date -u +%T)" >> "$LOG"
+
+stamp "GATE: on-chip splat parity (alias+concat pair modes, overlap wr2/4)"
+timeout 2400 python scripts/testing/onchip_splat_parity.py >> "$LOG" 2>&1
+echo "--- rc=$? $(date -u +%T)" >> "$LOG"
+
+stamp "R5 NIGHT CHAIN DONE"
