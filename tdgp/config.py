@@ -407,6 +407,11 @@ class TrainingConfig:
     resume: str = 'latest'
     tensorboard: bool = True        # TB sink (ref training_loop.py:270-275)
     run_profiling: bool = False     # jax.profiler trace of ticks 1-2 (ref infra.yaml:15)
+    # host-RSS watchdog: snapshot + clean exit when the process RSS crosses
+    # this (GB); the restart chain resumes from --run-dir. Safety net for
+    # the tunneled device client's per-step host-RAM leak (r5 flagship
+    # leg 2: 111 GB in 4 h -> host thrash). None/0 disables.
+    max_rss_gb: Optional[float] = 100.0
     g_optim: OptimCfg = OptimCfg(lr=0.0025)
     d_optim: OptimCfg = OptimCfg(lr=0.002)
     augment: AugmentCfg = AugmentCfg()

@@ -28,6 +28,18 @@ from tdgp.utils.profiling import PhaseTimer, trace
 from tdgp.utils.stats import JsonlLogger, StatsCollector
 
 
+def _rss_gb() -> float:
+    """Resident set size of this process in GB (0.0 if unreadable)."""
+    try:
+        with open('/proc/self/status') as f:
+            for line in f:
+                if line.startswith('VmRSS'):
+                    return int(line.split()[1]) / 1e6
+    except (OSError, ValueError, IndexError):
+        pass
+    return 0.0
+
+
 def synthetic_batch_iterator(cfg: Config, batch_size: int, seed: int = 0):
     """Random data source for smoke tests / benchmarking without a dataset."""
     rng = np.random.RandomState(seed)
@@ -346,6 +358,22 @@ def training_loop(
         tick_start_nimg = cur_nimg
         tick_start_time = time.time()
         if done:
+            break
+        # host-RSS watchdog (SURVEY §5.3 failure detection): the tunneled
+        # device client leaks host RAM per step (r5 flagship leg 2 reached
+        # 111 GB RSS in 4 h and thrashed the host into a stall). Long
+        # campaigns survive by the same mechanism as preemption: snapshot,
+        # exit cleanly, let the restart chain resume from --run-dir.
+        if t.max_rss_gb and _rss_gb() > t.max_rss_gb:
+            if path is None:
+                path = ckpt.save_snapshot(
+                    run_dir, state, cur_nimg=cur_nimg,
+                    meta={'batch_idx': batch_idx, 'ada_p': ada_p})
+            if verbose:
+                print(f'RSS {_rss_gb():.1f} GB > training.max_rss_gb='
+                      f'{t.max_rss_gb}: snapshot saved at {cur_nimg // 1000} '
+                      f'kimg; exiting for a clean restart (resume with '
+                      f'--run-dir)', flush=True)
             break
 
     if t.run_profiling and cur_tick < 2:

@@ -48,6 +48,22 @@ def test_training_loop_runs_and_checkpoints(tmp_path):
     assert int(np.asarray(state2.step)) >= 1
 
 
+def test_rss_watchdog_snapshots_and_exits(tmp_path):
+    """training.max_rss_gb (SURVEY §5.3): when host RSS crosses the
+    threshold the loop must save a snapshot and exit cleanly after the
+    tick instead of letting the host thrash (r5 flagship leg 2 leaked to
+    111 GB and stalled). An absurdly low threshold trips on tick 1."""
+    cfg = loop_cfg()
+    cfg = dataclasses.replace(
+        cfg, training=dataclasses.replace(cfg.training, max_rss_gb=0.001))
+    run_dir = str(tmp_path / 'run')
+    state = training_loop(cfg, run_dir, max_kimg=1.0, verbose=False)
+    # exited after ONE tick, far short of max_kimg
+    assert int(np.asarray(state.step)) == 1
+    # and a snapshot exists to resume from
+    assert len(ckpt.list_snapshots(run_dir)) >= 1
+
+
 def test_metric_failure_containment_rearms(tmp_path):
     """A failed in-loop eval must not silence metrics for the rest of the
     run (the round-4 one-way disable): the loop backs off 2^streak val
