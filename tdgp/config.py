@@ -412,6 +412,11 @@ class TrainingConfig:
     # the tunneled device client's per-step host-RAM leak (r5 flagship
     # leg 2: 111 GB in 4 h -> host thrash). None/0 disables.
     max_rss_gb: Optional[float] = 100.0
+    # ship raw u8 images / u16 depth to the device and normalize in-step
+    # (bit-identical; 4x fewer transfer bytes per step -> 4x slower client
+    # staging leak + less tunnel traffic). False = host-side float32
+    # normalization (the reference's training_loop.py:296-300 placement).
+    compact_transfer: bool = True
     g_optim: OptimCfg = OptimCfg(lr=0.0025)
     d_optim: OptimCfg = OptimCfg(lr=0.002)
     augment: AugmentCfg = AugmentCfg()

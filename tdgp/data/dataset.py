@@ -332,15 +332,33 @@ class BatchLoader:
         self._stop.set()
 
 
-def normalize_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """uint8/uint16 -> float32 training ranges (ref training_loop.py:296-300)."""
-    out = {
-        'img': batch['image'].astype(np.float32) / 127.5 - 1.0,
-        'depth': batch['depth'].astype(np.float32) / 65536 * 2.0 - 1.0,
-        'c': batch['label'].astype(np.float32),
-        'camera_angles': batch['camera_angles'].astype(np.float32),
-        'embs': batch['embedding'].astype(np.float32),
-    }
+def normalize_batch(batch: Dict[str, np.ndarray],
+                    compact: bool = False) -> Dict[str, np.ndarray]:
+    """uint8/uint16 -> float32 training ranges (ref training_loop.py:296-300).
+
+    compact=True ships the raw integer image/depth to the device instead
+    (u8 + u16: 4x fewer transfer bytes) and leaves the float conversion to
+    the train step's ingestion — bit-identical normalization, but the
+    tunneled device client leaks its transfer staging per put (DESIGN.md
+    round-5 ledger), so fewer bytes per step directly slows the host-RAM
+    leak and the tunnel traffic.
+    """
+    if compact:
+        out = {
+            'img': batch['image'],                       # uint8 passthrough
+            'depth': batch['depth'].astype(np.uint16),   # values <= 65535
+            'c': batch['label'].astype(np.float32),
+            'camera_angles': batch['camera_angles'].astype(np.float32),
+            'embs': batch['embedding'].astype(np.float32),
+        }
+    else:
+        out = {
+            'img': batch['image'].astype(np.float32) / 127.5 - 1.0,
+            'depth': batch['depth'].astype(np.float32) / 65536 * 2.0 - 1.0,
+            'c': batch['label'].astype(np.float32),
+            'camera_angles': batch['camera_angles'].astype(np.float32),
+            'embs': batch['embedding'].astype(np.float32),
+        }
     if '_indices' in batch:
         out['_indices'] = batch['_indices']
     return out

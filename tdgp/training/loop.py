@@ -110,8 +110,8 @@ def make_data_iterator(cfg: Config, batch_size: int, loader_threads: int = 2):
         loader = BatchLoader(dataset, local_bs, rank=pid, num_replicas=nproc,
                              seed=t.seed, num_threads=loader_threads)
         return with_gen_conditioning(
-            (normalize_batch(b) for b in loader), dataset, cfg,
-            seed=t.seed + pid), loader
+            (normalize_batch(b, compact=t.compact_transfer) for b in loader),
+            dataset, cfg, seed=t.seed + pid), loader
     return synthetic_batch_iterator(cfg, local_bs, seed=t.seed + pid), None
 
 

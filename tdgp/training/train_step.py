@@ -284,6 +284,17 @@ def make_train_step(cfg: Config, G: Generator, D: Discriminator,
              sched: Schedules, do_r1: bool):
         if axis_name and not controlled:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        # compact-transfer ingestion: the loader may ship raw u8 images /
+        # u16 depth (4x fewer host->device bytes — the tunneled client
+        # leaks its transfer staging per put, DESIGN.md r5) and the step
+        # normalizes on device. Bit-identical to host normalization
+        # (ref training_loop.py:296-300); float batches (tests, bench,
+        # synthetic iterator) pass through untouched.
+        batch = dict(batch)
+        if jnp.issubdtype(batch['img'].dtype, jnp.integer):
+            batch['img'] = batch['img'].astype(jnp.float32) / 127.5 - 1.0
+        if 'depth' in batch and jnp.issubdtype(batch['depth'].dtype, jnp.integer):
+            batch['depth'] = batch['depth'].astype(jnp.float32) / 65536 * 2.0 - 1.0
         n = batch['img'].shape[0]
         sample_idx = batch.get('sample_idx')
         if sample_idx is None:
