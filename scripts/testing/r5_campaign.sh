@@ -46,8 +46,10 @@ nstamp "PROBE: int8-take stacked bench (compile-time retry)"
 TDGP_SPLAT_TAKE=i8 timeout 3000 python bench.py --single 16 none >> "$NLOG" 2>&1
 echo "--- rc=$? $(date -u +%T)" >> "$NLOG"
 
-nstamp "PROBE: b24 with r1_remat + r1_batch_gpu=8"
-TDGP_R1_REMAT=1 TDGP_R1_BATCH_GPU=8 timeout 3000 \
+# r1_batch_gpu must undercut the main micro: battery stage 4 ran R1 at
+# micro 8 (batch_gpu=8) + r1_remat and still OOMed
+nstamp "PROBE: b24 with r1_remat + r1_batch_gpu=4"
+TDGP_R1_REMAT=1 TDGP_R1_BATCH_GPU=4 timeout 3000 \
   python bench.py --single 24 8 >> "$NLOG" 2>&1
 echo "--- rc=$? $(date -u +%T)" >> "$NLOG"
 
